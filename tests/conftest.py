@@ -1,10 +1,24 @@
-"""Test harness config: force CPU backend with 8 virtual devices so the
-multi-chip sharding paths compile and execute without TPU hardware."""
+"""Test harness config: force the CPU backend with 8 virtual devices so the
+multi-chip sharding paths compile and execute without TPU hardware.
+
+Note: the session environment ships an `axon` TPU PJRT plugin that merges
+itself into `jax_platforms` even when JAX_PLATFORMS=cpu is exported, so the
+override must go through jax.config *before* backend initialization.
+"""
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:  # older jax: fall back to the XLA flag
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
