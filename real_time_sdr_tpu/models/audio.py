@@ -1,0 +1,108 @@
+"""Audio chains: mono extraction and stereo pilot-PLL matrixing.
+
+TPU-native redesign of the reference's audio threads (src/mono.cpp:8-50,
+src/stereo.cpp:10-115). The stages compose into one jitted dataflow per
+block; the thread/queue structure of the reference collapses because the
+device graph already evaluates mono, stereo, and (separately) RDS branches
+from the same demodulated block.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from real_time_sdr_tpu import config as C
+from real_time_sdr_tpu.config import ReceiverConfig
+from real_time_sdr_tpu.ops import filters
+from real_time_sdr_tpu.ops.fir import PolyFIR, state_len
+from real_time_sdr_tpu.ops.pll import (PllCarry, PllParams, pll_init,
+                                       pll_newton, pll_scan)
+
+
+def _audio_bank(cfg: ReceiverConfig):
+    """Polyphase audio LPF: designed at if_fs*up with taps*up and gain up
+    (src/mono.cpp:22, src/stereo.cpp:64)."""
+    up = cfg.audio_up
+    h = filters.design_lpf(cfg.if_fs * up, cfg.audio_fc, cfg.rf_taps * up,
+                           gain=up)
+    return PolyFIR(h, up=up, down=cfg.audio_down)
+
+
+class MonoState(NamedTuple):
+    audio_tail: jax.Array
+
+
+class MonoPath:
+    """fm_demod -> audio-rate mono samples (float; int16 scaling in utils)."""
+
+    def __init__(self, cfg: ReceiverConfig):
+        self.cfg = cfg
+        self.audio_fir = _audio_bank(cfg)
+
+    def init_state(self, batch: tuple = ()) -> MonoState:
+        return MonoState(jnp.zeros(batch + (self.audio_fir.tail_len,),
+                                   jnp.float32))
+
+    def __call__(self, demod: jax.Array, state: MonoState):
+        audio, tail = self.audio_fir(demod, state.audio_tail)
+        return audio, MonoState(tail)
+
+
+class StereoState(NamedTuple):
+    pilot_tail: jax.Array
+    band_tail: jax.Array
+    delay_tail: jax.Array
+    mono_tail: jax.Array
+    stereo_tail: jax.Array
+    pll: PllCarry
+
+
+class StereoPath:
+    """fm_demod -> (left, right) audio via 19 kHz pilot PLL + DSB-SC mix.
+
+    Chain (src/stereo.cpp:69-111): pilot BPF 18.5-19.5 kHz -> PLL x2 ->
+    38 kHz carrier; stereo BPF 22-54 kHz -> x carrier x2 -> baseband L-R;
+    mono path through an APF delay for group-delay alignment; both polyphase
+    resampled to audio rate; matrix L = M+S, R = M-S.
+    """
+
+    def __init__(self, cfg: ReceiverConfig, pll_tier: int = 1):
+        self.cfg = cfg
+        fs_if = cfg.rf_fs // cfg.rf_decim  # == cfg.if_fs
+        self.pilot_fir = PolyFIR(
+            filters.design_bpf(fs_if, *C.PILOT_BAND, cfg.rf_taps))
+        self.band_fir = PolyFIR(
+            filters.design_bpf(fs_if, *C.STEREO_BAND, cfg.rf_taps))
+        self.delay_fir = PolyFIR(filters.design_apf(cfg.rf_taps))
+        self.mono_fir = _audio_bank(cfg)
+        self.stereo_fir = _audio_bank(cfg)
+        self.pll_params = PllParams(freq=int(C.PILOT_FREQ), fs=fs_if,
+                                    nco_scale=2.0, phase_adjust=0.0,
+                                    norm_bw=C.PLL_BW_STEREO)
+        self._pll = pll_scan if pll_tier == 1 else pll_newton
+
+    def init_state(self, batch: tuple = ()) -> StereoState:
+        t = lambda n: jnp.zeros(batch + (n,), jnp.float32)
+        k = state_len(self.cfg.rf_taps)
+        return StereoState(
+            pilot_tail=t(k), band_tail=t(k), delay_tail=t(k),
+            mono_tail=t(self.mono_fir.tail_len),
+            stereo_tail=t(self.stereo_fir.tail_len),
+            pll=pll_init(batch))
+
+    def __call__(self, demod: jax.Array, state: StereoState):
+        pilot, pilot_tail = self.pilot_fir(demod, state.pilot_tail)
+        carrier, pll = self._pll(pilot, state.pll, self.pll_params)
+        band, band_tail = self.band_fir(demod, state.band_tail)
+        stereo_dc = 2.0 * band * carrier
+        mono_delay, delay_tail = self.delay_fir(demod, state.delay_tail)
+        mono, mono_tail = self.mono_fir(mono_delay, state.mono_tail)
+        sub, stereo_tail = self.stereo_fir(stereo_dc, state.stereo_tail)
+        left = mono + sub
+        right = mono - sub
+        new_state = StereoState(pilot_tail, band_tail, delay_tail,
+                                mono_tail, stereo_tail, pll)
+        return (left, right), new_state

@@ -1,0 +1,104 @@
+"""RDS chain: 57 kHz BPSK subcarrier -> RRC-clean samples -> decoded bits.
+
+TPU-native redesign of the reference's RDS thread DSP half
+(src/rds.cpp:95-133) and the slicer/decoder entry (src/rds.cpp:135-167):
+
+  BPF 54-60 kHz -> squaring nonlinearity -> BPF 113.5-114.5 kHz ->
+  PLL(114 kHz, ncoScale 0.5, bw 0.001) -> 57 kHz carrier ->
+  APF delay-match -> x2 mix -> polyphase resample to sps*2375 S/s ->
+  RRC matched filter -> CDR + slice + Manchester + differential (ops.rds_bits)
+
+The resample ratio is derived per mode (config.rds_resample) instead of the
+reference's hard-coded 247/640 (only correct at 240 kS/s IF with 39 sps).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from real_time_sdr_tpu import config as C
+from real_time_sdr_tpu.config import ReceiverConfig
+from real_time_sdr_tpu.ops import filters
+from real_time_sdr_tpu.ops.fir import PolyFIR, state_len
+from real_time_sdr_tpu.ops.pll import (PllCarry, PllParams, pll_init,
+                                       pll_newton, pll_scan)
+from real_time_sdr_tpu.ops.rds_bits import (BitSyncState, bit_sync_init,
+                                            decode_block_bits)
+
+
+class RdsState(NamedTuple):
+    band_tail: jax.Array
+    pilot_tail: jax.Array
+    delay_tail: jax.Array
+    baseband_tail: jax.Array
+    rrc_tail: jax.Array
+    pll: PllCarry
+    bits: BitSyncState
+    block_count: jax.Array  # int32; decode gated to block_count > 5
+
+
+class RdsPath:
+    """fm_demod -> (bits, n_bits, rds_clean) per block."""
+
+    def __init__(self, cfg: ReceiverConfig, pll_tier: int = 1):
+        self.cfg = cfg
+        fs_if = cfg.if_fs
+        up, down = cfg.rds_resample
+        self.band_fir = PolyFIR(
+            filters.design_bpf(fs_if, *C.RDS_BAND, cfg.rf_taps))
+        self.pilot_fir = PolyFIR(
+            filters.design_bpf(fs_if, *C.RDS_SQUARED_BAND, cfg.rf_taps))
+        self.delay_fir = PolyFIR(filters.design_apf(cfg.rf_taps))
+        # Baseband LPF designed at the upsampled rate with gain=up
+        # (src/rds.cpp:61: impulseResponseLPF(if_Fs*247, 3e3, taps*247, 247)).
+        self.baseband_fir = PolyFIR(
+            filters.design_lpf(fs_if * up, 3_000.0, cfg.rf_taps * up,
+                               gain=up),
+            up=up, down=down)
+        self.rrc_fir = PolyFIR(
+            filters.design_rrc(cfg.rds_fs, cfg.rf_taps,
+                               symbol_rate=C.RDS_SYMBOL_RATE,
+                               beta=C.RDS_RRC_BETA))
+        self.pll_params = PllParams(freq=int(C.RDS_PILOT_FREQ), fs=fs_if,
+                                    nco_scale=0.5, phase_adjust=0.0,
+                                    norm_bw=C.PLL_BW_RDS)
+        self._pll = pll_scan if pll_tier == 1 else pll_newton
+
+    def init_state(self, batch: tuple = ()) -> RdsState:
+        t = lambda n: jnp.zeros(batch + (n,), jnp.float32)
+        k = state_len(self.cfg.rf_taps)
+        return RdsState(
+            band_tail=t(k), pilot_tail=t(k), delay_tail=t(k),
+            baseband_tail=t(self.baseband_fir.tail_len),
+            rrc_tail=t(self.rrc_fir.tail_len),
+            pll=pll_init(batch), bits=bit_sync_init(batch),
+            block_count=jnp.zeros(batch, jnp.int32))
+
+    def __call__(self, demod: jax.Array, state: RdsState):
+        cfg = self.cfg
+        band, band_tail = self.band_fir(demod, state.band_tail)
+        squared = band * band
+        pilot, pilot_tail = self.pilot_fir(squared, state.pilot_tail)
+        carrier, pll = self._pll(pilot, state.pll, self.pll_params)
+        delayed, delay_tail = self.delay_fir(band, state.delay_tail)
+        mixed = 2.0 * delayed * carrier
+        filt, baseband_tail = self.baseband_fir(mixed, state.baseband_tail)
+        clean, rrc_tail = self.rrc_fir(filt, state.rrc_tail)
+
+        bits, n_bits, bit_state = decode_block_bits(
+            clean, state.bits, cfg.sps, cfg.max_symbols, cfg.max_bits)
+        # Warm-up gate: the reference ignores the first 5 blocks while the
+        # filters/PLL settle (src/rds.cpp:135). Masking n_bits to 0 keeps the
+        # carried bit state from training on garbage... the reference simply
+        # does not run the decoder at all, so neither do we: hold prior state.
+        warm = state.block_count > 5
+        n_bits = jnp.where(warm, n_bits, 0)
+        bit_state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(warm, new, old), bit_state, state.bits)
+        new_state = RdsState(band_tail, pilot_tail, delay_tail, baseband_tail,
+                             rrc_tail, pll, bit_state,
+                             state.block_count + 1)
+        return (bits, n_bits, clean), new_state

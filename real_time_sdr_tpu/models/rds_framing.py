@@ -1,0 +1,144 @@
+"""Host-side RBDS framing: sliding-window sync, group assembly, text parsing.
+
+Production counterpart of the reference's active decoder path
+(start_frame_sync/check_block/uint_copy/isSequenceABCD/parse,
+src/rds_utilities.cpp:122-199, 313-400). Runs on the host: after the device
+has produced differential-decoded bits (1187.5 bps per channel), the
+data-dependent 26-bit window walk is trivially cheap here, while syndrome
+computation for all windows happens in one vectorized mod-2 matmul.
+
+Differences from the reference, by design:
+- syndromes come from the CRC remainder convention, proven decision-identical
+  to the reference's parity-matrix-with-table comparison (both are rank-10
+  maps with the RBDS code as kernel — see tests/test_rds_codec_golden.py);
+- group type 2 (RadioText) is parsed in addition to type 0 (Program
+  Service), mirroring the reference models (model/OurRDSOurDSP.py:486-528).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import numpy as np
+
+from real_time_sdr_tpu.ops.rds_bits import OFFSET_SYNDROMES, parity_matrix_np
+
+_H = parity_matrix_np()  # (26, 10)
+_SYNDROME_VALUES = np.array(
+    [OFFSET_SYNDROMES[k] for k in ("A", "B", "C", "Cp", "D")], dtype=np.int64)
+_OFFSET_NAMES = ("A", "B", "C", "Cp", "D")
+
+PTY_NAMES = [
+    "Undefined", "News", "Information", "Sports", "Talk", "Rock",
+    "Classic Rock", "Adult Hits", "Soft Rock", "Top 40", "Country", "Oldies",
+    "Soft", "Nostalgia", "Jazz", "Classical", "Rhythm & Blues",
+    "Soft Rhythm & Blues", "Language", "Religious Music", "Religious Talk",
+    "Personality", "Public", "College", "Spanish Talk", "Spanish Music",
+    "Hip Hop", "Unassigned", "Unassigned", "Weather", "Emergency Test",
+    "Emergency",
+]
+
+
+@dataclasses.dataclass
+class RdsEvents:
+    """Decoded protocol outputs (the reference prints these to stderr,
+    src/rds_utilities.cpp:180-196)."""
+    pi: int | None = None
+    pty: str | None = None
+    ps_name: str | None = None
+    radiotext: str = " " * 64
+    groups_decoded: int = 0
+
+
+class RdsFramer:
+    """Streaming frame sync + group assembly for one channel."""
+
+    def __init__(self, on_event: Callable[[str, object], None] | None = None):
+        self._tail = np.zeros(0, dtype=np.int8)
+        self._reg = 0            # 64-bit group register (uint_copy twin)
+        self._window: list[str] = []
+        self._ps_chars = 0
+        self._rt = [" "] * 64
+        self.events = RdsEvents()
+        self._on_event = on_event or (lambda kind, val: None)
+
+    # -- syndrome machinery ------------------------------------------------
+
+    @staticmethod
+    def syndromes(stream: np.ndarray) -> np.ndarray:
+        """Syndrome value of every sliding 26-bit window (vectorized)."""
+        n = len(stream) - 25
+        if n <= 0:
+            return np.zeros(0, dtype=np.int64)
+        win = np.lib.stride_tricks.sliding_window_view(stream, 26)
+        planes = (win.astype(np.int64) @ _H.astype(np.int64)) % 2  # (n, 10)
+        weights = 1 << np.arange(9, -1, -1, dtype=np.int64)
+        return planes @ weights
+
+    def feed(self, bits: np.ndarray) -> None:
+        """Consume differential-decoded bits; advance sync and parse groups.
+
+        Implements the step-26-on-hit / step-1-on-miss walk
+        (src/rds_utilities.cpp:384-400) over precomputed window syndromes.
+        """
+        stream = np.concatenate([self._tail, np.asarray(bits, dtype=np.int8)])
+        synd = self.syndromes(stream)
+        match = synd[:, None] == _SYNDROME_VALUES[None, :]  # (nwin, 5)
+        hit_any = match.any(axis=1)
+        hit_idx = np.argmax(match, axis=1)
+
+        idx = 0
+        nwin = len(synd)
+        while idx < nwin:
+            if hit_any[idx]:
+                name = _OFFSET_NAMES[hit_idx[idx]]
+                window = stream[idx:idx + 26]
+                data16 = 0
+                for b in window[:16]:
+                    data16 = (data16 << 1) | int(b)
+                self._block(name, data16)
+                idx += 26
+            else:
+                idx += 1
+        self._tail = stream[idx:].copy()
+
+    # -- group assembly ----------------------------------------------------
+
+    def _block(self, name: str, data16: int) -> None:
+        if name in ("A", "B", "C", "D"):
+            slot = "ABCD".index(name)
+            mask = ~(0xFFFF << (48 - 16 * slot)) & ((1 << 64) - 1)
+            self._reg = (self._reg & mask) | (data16 << (48 - 16 * slot))
+        self._window.append(name)
+        if len(self._window) > 4:
+            self._window.pop(0)
+        if self._window == ["A", "B", "C", "D"]:
+            self._group(self._reg)
+
+    def _group(self, g: int) -> None:
+        ev = self.events
+        ev.pi = (g >> 48) & 0xFFFF
+        group_type = (g >> 44) & 0xF
+        ev.pty = PTY_NAMES[(g >> 37) & 0x1F]
+        ev.groups_decoded += 1
+        self._on_event("group", (ev.pi, group_type, ev.pty))
+        if group_type == 0:
+            placement = (g >> 32) & 0x3
+            word = g & 0xFFFF
+            mask = ~(0xFFFF << (48 - 16 * placement)) & ((1 << 64) - 1)
+            self._ps_chars = (self._ps_chars & mask) | (
+                word << (16 * (3 - placement)))
+            if placement == 3:
+                name = "".join(chr((self._ps_chars >> (8 * (7 - i))) & 0xFF)
+                               for i in range(8))
+                ev.ps_name = name
+                self._on_event("ps", name)
+        elif group_type == 2:
+            seg = (g >> 32) & 0xF
+            chars = g & 0xFFFFFFFF
+            for j in range(4):
+                c = (chars >> (8 * (3 - j))) & 0xFF
+                self._rt[seg * 4 + j] = chr(c) if 32 <= c < 127 else " "
+            ev.radiotext = "".join(self._rt)
+            self._on_event("radiotext", ev.radiotext)

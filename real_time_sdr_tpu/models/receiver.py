@@ -1,0 +1,100 @@
+"""Full receiver: one jitted (state, IQ-block) -> (state, outputs) step.
+
+This is the TPU-native replacement for the reference's three-thread pipeline
+(src/project.cpp:134-140 + include/threadsafequeue.h): on device there is no
+need for pipeline threads or a broadcast rendezvous queue — the mono/stereo
+and RDS branches are just two consumers of the same ``fm_demod`` value inside
+one XLA graph. Sequential-block semantics live in ``lax.scan`` (offline /
+throughput mode) or a host streaming loop (real-time mode); the carried
+state pytree is exactly the reference's cross-block state surface
+(SURVEY.md section 5 'checkpoint/resume'), which makes state serialization
+trivial (utils.state).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from real_time_sdr_tpu.config import ReceiverConfig, mode_config
+from real_time_sdr_tpu.models.audio import MonoPath, StereoPath
+from real_time_sdr_tpu.models.frontend import Frontend
+from real_time_sdr_tpu.models.rds import RdsPath
+
+
+class ReceiverState(NamedTuple):
+    frontend: Any
+    audio: Any
+    rds: Any        # RdsState or None
+
+
+class ReceiverOutput(NamedTuple):
+    mono: Any       # (..., audio_block) float32, mono mode only, else None
+    left: Any       # (..., audio_block) float32, stereo mode only, else None
+    right: Any
+    rds_bits: Any   # (..., max_bits) int32 or None
+    rds_nbits: Any  # (...,) int32 or None
+
+
+class Receiver:
+    """Configured receiver chain.
+
+    mode/type mirror the reference CLI (src/project.cpp:67-132): type 'm' is
+    mono, 's' adds the stereo decoder, 'r' is stereo + RDS. The RDS branch can
+    also be enabled independently.
+    """
+
+    def __init__(self, cfg: ReceiverConfig | int = 0, *, stereo: bool = False,
+                 rds: bool = False, pll_tier: int = 1):
+        if isinstance(cfg, int):
+            cfg = mode_config(cfg)
+        self.cfg = cfg
+        self.stereo = stereo
+        self.rds = rds
+        self.frontend = Frontend(cfg)
+        self.audio = StereoPath(cfg, pll_tier) if stereo else MonoPath(cfg)
+        self.rds_path = RdsPath(cfg, pll_tier) if rds else None
+        self._jit_step = jax.jit(self.step)
+        self._jit_scan = jax.jit(self.run_blocks)
+
+    # -- state -------------------------------------------------------------
+
+    def init_state(self, batch: tuple = ()) -> ReceiverState:
+        return ReceiverState(
+            frontend=self.frontend.init_state(batch),
+            audio=self.audio.init_state(batch),
+            rds=self.rds_path.init_state(batch) if self.rds_path else None)
+
+    # -- execution ---------------------------------------------------------
+
+    def step(self, state: ReceiverState, iq_u8: jax.Array):
+        """One block: iq_u8 (..., 2*block_size_iq) uint8."""
+        demod, f_state = self.frontend(iq_u8, state.frontend)
+        if self.stereo:
+            (left, right), a_state = self.audio(demod, state.audio)
+            mono = None
+        else:
+            mono, a_state = self.audio(demod, state.audio)
+            left = right = None
+        if self.rds_path is not None:
+            (bits, n_bits, _clean), r_state = self.rds_path(demod, state.rds)
+        else:
+            bits = n_bits = r_state = None
+        out = ReceiverOutput(mono=mono, left=left, right=right,
+                             rds_bits=bits, rds_nbits=n_bits)
+        return ReceiverState(f_state, a_state, r_state), out
+
+    def jit_step(self, state, iq_u8):
+        return self._jit_step(state, iq_u8)
+
+    def run_blocks(self, state: ReceiverState, iq_blocks: jax.Array):
+        """Throughput mode: scan over (B, 2*block_size_iq) uint8 blocks.
+
+        Returns (final_state, ReceiverOutput stacked along a leading B axis).
+        """
+        return jax.lax.scan(self.step, state, iq_blocks)
+
+    def jit_run_blocks(self, state, iq_blocks):
+        return self._jit_scan(state, iq_blocks)

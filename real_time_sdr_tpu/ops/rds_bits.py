@@ -1,0 +1,175 @@
+"""On-device RDS symbol/bit operations under XLA's static-shape rule.
+
+TPU-native redesign of the reference's bit-serial decode utilities
+(src/rds_utilities.cpp): clock/data recovery as a reshape-reduce-argmax,
+symbol slicing as a masked gather, Manchester/differential decoding as masked
+XOR algebra with a tiny carried state, and the RBDS syndrome as a mod-2
+matmul of all sliding 26-bit windows against the parity matrix at once
+(replacing the sequential shift-register walk, src/rds_utilities.cpp:384-400).
+
+Everything here has static shapes: per block we emit ``max_bits`` bit slots
+plus a valid count, exactly mirroring the reference's variable-length
+vectors + carried half-symbol state (src/rds_utilities.cpp:61-66).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "BitSyncState", "bit_sync_init", "cdr_offset", "decode_block_bits",
+    "parity_matrix_np", "window_syndromes", "OFFSET_SYNDROMES",
+]
+
+_RDS_POLY = 0x5B9
+
+
+def _crc_remainder(value: int, nbits: int) -> int:
+    """Remainder of value * x^10 mod g(x) over GF(2) (host, design time)."""
+    reg = 0
+    for i in range(nbits, 0, -1):
+        reg = (reg << 1) | ((value >> (i - 1)) & 1)
+        if reg & (1 << 10):
+            reg ^= _RDS_POLY
+    for _ in range(10):
+        reg <<= 1
+        if reg & (1 << 10):
+            reg ^= _RDS_POLY
+    return reg & 0x3FF
+
+
+def parity_matrix_np() -> np.ndarray:
+    """(26, 10) RBDS parity-check matrix H; syndrome = bits @ H mod 2."""
+    h = np.zeros((26, 10), dtype=np.int32)
+    for i in range(26):
+        rem = _crc_remainder(1 << (25 - i), 26)
+        for c in range(10):
+            h[i, c] = (rem >> (9 - c)) & 1
+    return h
+
+
+# Offset-word syndromes in RBDS block order (A, B, C, C', D); values equal the
+# reference's dormant-decoder table {383, 14, 303, 663, 748} reordered
+# (src/rds_utilities.cpp:205 lists A,B,C,D,C').
+OFFSET_SYNDROMES = {
+    "A": _crc_remainder(0x0FC, 26),
+    "B": _crc_remainder(0x198, 26),
+    "C": _crc_remainder(0x168, 26),
+    "Cp": _crc_remainder(0x350, 26),
+    "D": _crc_remainder(0x1B4, 26),
+}
+
+
+class BitSyncState(NamedTuple):
+    """Carried Manchester/differential state
+    (reference: src/rds.cpp:28-31 locals + rds_utilities.cpp:61-66,:87)."""
+    first: jax.Array        # bool: no block decoded yet (alignment unscored)
+    start: jax.Array        # int32 0/1: alignment / prepend flag
+    half_symbol: jax.Array  # int32: carried trailing symbol
+    last_bit: jax.Array     # int32: last pre-differential bit
+
+
+def bit_sync_init(batch: tuple = ()) -> BitSyncState:
+    i32 = partial(jnp.full, batch, dtype=jnp.int32)
+    return BitSyncState(first=jnp.full(batch, True), start=i32(0),
+                        half_symbol=i32(0), last_bit=i32(0))
+
+
+def cdr_offset(signal: jax.Array, sps: int) -> jax.Array:
+    """Clock/data recovery: max-|energy| comb phase
+    (src/rds_utilities.cpp:4-21). signal: (L,) -> int32 offset in [0, sps)."""
+    n = signal.shape[-1] // sps
+    comb = jnp.abs(signal[..., : n * sps].reshape(signal.shape[:-1] + (n, sps)))
+    energy = comb.sum(axis=-2)
+    # ties resolve to the lowest index, and the reference's strict '>' keeps
+    # the first maximum as well
+    return jnp.argmax(energy, axis=-1).astype(jnp.int32)
+
+
+def decode_block_bits(rds_clean: jax.Array, state: BitSyncState, sps: int,
+                      max_symbols: int, max_bits: int):
+    """Slice symbols at the CDR phase and Manchester+differentially decode.
+
+    rds_clean: (L,). Returns (bits (max_bits,) int32, n_bits int32, state).
+    Follows src/rds.cpp:137-167: slice every sps-th sample > 0 from the CDR
+    offset, carry a trailing half symbol across blocks, take the first symbol
+    of each aligned pair as the bit, then XOR-differential with carried bit.
+    """
+    L = rds_clean.shape[-1]
+    offset = cdr_offset(rds_clean, sps)
+    # symbols[i] = clean[offset + i*sps] > 0, valid while in range
+    pos = offset + sps * jnp.arange(max_symbols, dtype=jnp.int32)
+    valid = pos < L
+    sym = (jnp.take(rds_clean, jnp.clip(pos, 0, L - 1)) > 0).astype(jnp.int32)
+    sym = jnp.where(valid, sym, 0)
+    n_sym = valid.sum().astype(jnp.int32)  # == ceil((L-offset)/sps)
+
+    # Block-0 alignment scoring (src/rds_utilities.cpp:42-51): pairs starting
+    # even minus pairs starting odd, over indices < n_sym-1.
+    nxt = jnp.roll(sym, -1)
+    x = jnp.bitwise_xor(sym, nxt)
+    idx = jnp.arange(max_symbols, dtype=jnp.int32)
+    in_range = idx < (n_sym - 1)
+    even = (idx % 2 == 0) & in_range
+    odd = (idx % 2 == 1) & in_range
+    score = jnp.sum(jnp.where(even, x, 0)) - jnp.sum(jnp.where(odd, x, 0))
+    start = jnp.where(state.first, (score < 0).astype(jnp.int32), state.start)
+    prepend = state.start  # carried half-symbol emission flag
+
+    # Aligned bits: b[j] = sym[start + 2j], count = (n_sym - start) // 2
+    # (length of range(start, n_sym-1, 2)).
+    j = jnp.arange(max_bits, dtype=jnp.int32)
+    take_pos = start + 2 * j
+    n_main = jnp.maximum(n_sym - start, 0) // 2
+    main_bits = jnp.take(sym, jnp.clip(take_pos, 0, max_symbols - 1))
+    # shift by one slot when the carried half symbol is prepended
+    bits = jnp.where(
+        prepend > 0,
+        jnp.where(j == 0, state.half_symbol,
+                  jnp.take(sym, jnp.clip(start + 2 * (j - 1), 0,
+                                         max_symbols - 1))),
+        main_bits)
+    n_bits = n_main + prepend
+    bits = jnp.where(j < n_bits, bits, 0)
+
+    # Trailing half symbol (src/rds_utilities.cpp:61-66)
+    odd_tail = ((n_sym - start) % 2) == 1
+    last_sym = jnp.take(sym, jnp.clip(n_sym - 1, 0, max_symbols - 1))
+    new_half = jnp.where(odd_tail, last_sym, state.half_symbol)
+    new_start = odd_tail.astype(jnp.int32)
+
+    # Differential decode (src/rds_utilities.cpp:70-88)
+    prev = jnp.roll(bits, 1)
+    first_bit_prev = jnp.where(state.first, 0, state.last_bit)
+    prev = prev.at[0].set(first_bit_prev)
+    decoded = jnp.bitwise_xor(bits, prev)
+    decoded = jnp.where(j < n_bits, decoded, 0)
+    new_last = jnp.take(bits, jnp.clip(n_bits - 1, 0, max_bits - 1))
+    new_last = jnp.where(n_bits > 0, new_last, state.last_bit)
+
+    new_state = BitSyncState(
+        first=jnp.zeros_like(state.first),  # scoring happens on block 0 only
+        start=new_start, half_symbol=new_half, last_bit=new_last)
+    return decoded, n_bits, new_state
+
+
+def window_syndromes(bits: jax.Array) -> jax.Array:
+    """Syndromes of every sliding 26-bit window, as one mod-2 matmul.
+
+    bits: (n,) int32 0/1 -> (n-25, 10) int32 syndrome bit-planes.
+    Replaces the sequential 26-bit register walk (src/rds_utilities.cpp:352-381)
+    with windows(n-25, 26) @ H(26, 10) mod 2 — MXU-shaped work.
+    """
+    n = bits.shape[-1]
+    nwin = n - 25
+    h = jnp.asarray(parity_matrix_np(), jnp.float32)
+    idx = jnp.arange(nwin)[:, None] + jnp.arange(26)[None, :]
+    windows = jnp.take(bits, idx).astype(jnp.float32)
+    prod = jnp.dot(windows, h, precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
+    return jnp.mod(prod, 2.0).astype(jnp.int32)

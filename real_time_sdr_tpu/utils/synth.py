@@ -1,0 +1,168 @@
+"""Synthetic FM broadcast signal generation (test fixtures & benchmarks).
+
+Framework counterpart of the reference's signal generators
+(src/genfunc.cpp:13-41) extended to a full FM multiplex: mono + 19 kHz pilot
++ DSB-SC stereo difference + 57 kHz RDS BPSK with real RBDS framing, FM
+modulated into uint8 interleaved IQ exactly as an RTL-SDR would deliver it
+(deinterleave/normalize convention of src/rffrontend.cpp:58-63).
+
+The RDS transmit chain is the exact inverse of the receive chain: groups ->
+CRC+offset checkwords -> differential encode -> Manchester (biphase) symbols
+-> RRC pulse shaping at sps*2375 S/s -> resample to RF rate -> mix to 57 kHz.
+"""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+import numpy as np
+from scipy import signal as sp_signal
+
+from real_time_sdr_tpu.config import PILOT_FREQ, RDS_SYMBOL_RATE, ReceiverConfig
+from real_time_sdr_tpu.ops.filters import design_rrc
+from real_time_sdr_tpu.ops.rds_bits import _crc_remainder
+
+_OFFSET_WORDS = {"A": 0x0FC, "B": 0x198, "C": 0x168, "Cp": 0x350, "D": 0x1B4}
+
+
+# ---------------------------------------------------------------------------
+# RBDS transmit-side encoding
+# ---------------------------------------------------------------------------
+
+def encode_group(pi: int, group_type: int, pty: int, placement: int,
+                 data_c: int, data_d: int) -> list[int]:
+    """Four 16-bit data words of one version-A group."""
+    b = (group_type << 12) | (pty << 5) | placement
+    return [pi, b, data_c, data_d]
+
+
+def group_to_bits(words: list[int]) -> list[int]:
+    """Data words -> 104 transmitted bits (CRC + offset word per block)."""
+    bits = []
+    for word, offset in zip(words, ("A", "B", "C", "D")):
+        check = _crc_remainder(word, 16) ^ _OFFSET_WORDS[offset]
+        block = (word << 10) | check
+        bits.extend((block >> (25 - i)) & 1 for i in range(26))
+    return bits
+
+
+def ps_groups(pi: int, pty: int, ps_name: str) -> list[list[int]]:
+    """Group-type-0 sequence carrying an 8-char Program Service name."""
+    assert len(ps_name) == 8
+    out = []
+    for placement in range(4):
+        c0, c1 = ps_name[2 * placement], ps_name[2 * placement + 1]
+        out.append(encode_group(pi, 0, pty, placement, 0x0000,
+                                (ord(c0) << 8) | ord(c1)))
+    return out
+
+
+def radiotext_groups(pi: int, pty: int, text: str) -> list[list[int]]:
+    """Group-type-2A sequence carrying up to 64 chars of RadioText."""
+    text = text.ljust(4 * ((len(text) + 3) // 4))
+    out = []
+    for seg in range(len(text) // 4):
+        chunk = text[4 * seg: 4 * seg + 4]
+        c = (ord(chunk[0]) << 8) | ord(chunk[1])
+        d = (ord(chunk[2]) << 8) | ord(chunk[3])
+        out.append(encode_group(pi, 2, pty, seg, c, d))
+    return out
+
+
+def differential_encode(bits, prev: int = 0) -> list[int]:
+    out = []
+    for b in bits:
+        prev = int(b) ^ prev
+        out.append(prev)
+    return out
+
+
+def manchester_symbols(bits) -> np.ndarray:
+    """bit b -> symbol pair (b, 1-b) in {+1,-1} amplitude."""
+    syms = np.empty(2 * len(bits), dtype=np.float64)
+    for i, b in enumerate(bits):
+        syms[2 * i] = 1.0 if b else -1.0
+        syms[2 * i + 1] = -1.0 if b else 1.0
+    return syms
+
+
+def rds_baseband(symbols: np.ndarray, rf_fs: int, n_samples: int,
+                 sps: int = 39) -> np.ndarray:
+    """RRC-shaped BPSK baseband at rf_fs (tiled to n_samples)."""
+    fs = int(RDS_SYMBOL_RATE * sps)
+    x = np.zeros(len(symbols) * sps)
+    x[::sps] = symbols
+    h = design_rrc(fs, 16 * sps + 1)
+    shaped = np.convolve(x, h, mode="same")
+    ratio = Fraction(rf_fs, fs)
+    up, down = ratio.numerator, ratio.denominator
+    resampled = sp_signal.resample_poly(shaped, up, down)
+    reps = int(np.ceil(n_samples / len(resampled)))
+    return np.tile(resampled, reps)[:n_samples]
+
+
+# ---------------------------------------------------------------------------
+# FM multiplex synthesis
+# ---------------------------------------------------------------------------
+
+def fm_iq(rf_fs: int, n_samples: int, *,
+          mono: np.ndarray | None = None,
+          stereo_diff: np.ndarray | None = None,
+          rds_symbols: np.ndarray | None = None,
+          mono_amp: float = 0.45, pilot_amp: float = 0.10,
+          stereo_amp: float = 0.45, rds_amp: float = 0.06,
+          deviation: float = 75_000.0, phase0: float = 0.0,
+          rds_sps: int = 39) -> np.ndarray:
+    """Synthesize uint8 interleaved IQ for one FM station.
+
+    mono / stereo_diff: per-sample (L+R)/2 and (L-R)/2 waveforms at rf_fs
+    (unit amplitude). Returns (2*n_samples,) uint8.
+    """
+    t = np.arange(n_samples) / rf_fs
+    theta_p = 2 * np.pi * PILOT_FREQ * t
+    m = np.zeros(n_samples)
+    if mono is not None:
+        m += mono_amp * mono[:n_samples]
+    m += pilot_amp * np.cos(theta_p)
+    if stereo_diff is not None:
+        m += stereo_amp * stereo_diff[:n_samples] * np.cos(2 * theta_p)
+    if rds_symbols is not None:
+        bb = rds_baseband(rds_symbols, rf_fs, n_samples, rds_sps)
+        m += rds_amp * bb * np.cos(3 * theta_p)
+
+    phase = phase0 + 2 * np.pi * deviation * np.cumsum(m) / rf_fs
+    i = np.cos(phase)
+    q = np.sin(phase)
+    iq = np.empty(2 * n_samples)
+    iq[0::2] = i
+    iq[1::2] = q
+    return np.clip(np.round(128.0 + 127.0 * iq), 0, 255).astype(np.uint8)
+
+
+def station_iq(cfg: ReceiverConfig, n_blocks: int, *,
+               ps_name: str = "TPU-FM  ", pi: int = 0x3A5C, pty: int = 5,
+               radiotext: str | None = None,
+               tone_left: float = 440.0, tone_right: float = 1200.0,
+               **kw) -> tuple[np.ndarray, dict]:
+    """Convenience: a full station with stereo tones + RDS PS (and optionally
+    RadioText). Returns (uint8 IQ of n_blocks blocks, ground-truth dict)."""
+    n = cfg.block_size_iq * n_blocks
+    t = np.arange(n) / cfg.rf_fs
+    left = np.sin(2 * np.pi * tone_left * t)
+    right = np.sin(2 * np.pi * tone_right * t)
+    groups = ps_groups(pi, pty, ps_name)
+    if radiotext is not None:
+        groups = groups + radiotext_groups(pi, pty, radiotext)
+    bits = [b for g in groups for b in group_to_bits(g)]
+    # repeat groups so warm-up blocks and sync hunting have margin
+    secs = n / cfg.rf_fs
+    reps = max(2, int(np.ceil(secs * RDS_SYMBOL_RATE / len(bits))) + 1)
+    diff = differential_encode(bits * reps)
+    syms = manchester_symbols(diff)
+    iq = fm_iq(cfg.rf_fs, n, mono=(left + right) / 2,
+               stereo_diff=(left - right) / 2, rds_symbols=syms,
+               rds_sps=cfg.sps, **kw)
+    truth = dict(ps_name=ps_name, pi=pi, pty=pty, left=left, right=right,
+                 bits=bits, radiotext=radiotext)
+    return iq, truth
