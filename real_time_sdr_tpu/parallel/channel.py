@@ -1,0 +1,70 @@
+"""Channel-bank parallelism: many FM stations decoded at once.
+
+The reference decodes one station on three CPU threads; the free-scaling
+dimension on TPU is a *channel axis* (SURVEY.md section 2.3 'Data
+parallelism'): the whole per-block receiver step vmaps over channels with
+zero cross-channel coupling, and the channel axis shards across devices/hosts
+(ICI/DCN never sees anything but the initial placement).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from real_time_sdr_tpu.models.receiver import Receiver
+
+
+class ChannelBank:
+    """A bank of ``n_channels`` independent receivers, optionally sharded.
+
+    With a mesh, channel axis 0 of every state/input/output leaf is sharded
+    over ``axis`` — XLA partitions the whole graph with no collectives.
+    """
+
+    def __init__(self, rx: Receiver, n_channels: int,
+                 mesh: Mesh | None = None, axis: str = "ch"):
+        self.rx = rx
+        self.n = n_channels
+        self.mesh = mesh
+        self.axis = axis
+        step_v = jax.vmap(rx.step)
+        run_v = jax.vmap(rx.run_blocks, in_axes=(0, 1), out_axes=(0, 1))
+        if mesh is not None:
+            sh = NamedSharding(mesh, P(axis))
+            spec = lambda tree: jax.tree_util.tree_map(lambda _: sh, tree)
+            self._step = jax.jit(step_v)
+            self._run = jax.jit(run_v)
+            self._sharding = sh
+        else:
+            self._step = jax.jit(step_v)
+            self._run = jax.jit(run_v)
+            self._sharding = None
+
+    def init_state(self):
+        state = self.rx.init_state(batch=(self.n,))
+        if self._sharding is not None:
+            state = jax.device_put(
+                state, jax.tree_util.tree_map(lambda _: self._sharding,
+                                              state))
+        return state
+
+    def place(self, arr):
+        """Shard a (C, ...) or (B, C, ...) channel-major array."""
+        if self._sharding is None:
+            return jnp.asarray(arr)
+        ndim = jnp.ndim(arr)
+        if ndim >= 3:  # (B, C, ...): channel axis second
+            sh = NamedSharding(self.mesh, P(None, self.axis))
+        else:
+            sh = self._sharding
+        return jax.device_put(jnp.asarray(arr), sh)
+
+    def step(self, state, blocks):
+        """blocks: (C, 2*block_size_iq) uint8 — one block per channel."""
+        return self._step(state, blocks)
+
+    def run(self, state, blocks):
+        """blocks: (B, C, 2*block_size_iq) uint8 — scan over B blocks."""
+        return self._run(state, blocks)
