@@ -1,0 +1,132 @@
+"""Command-line receiver: uint8 IQ on stdin -> int16 PCM on stdout,
+RDS text on stderr.
+
+Drop-in workflow twin of the reference binary (src/project.cpp:26-141):
+
+    rtl_sdr -f 99.9M -s 2.4M - | python -m real_time_sdr_tpu.cli 0 s | aplay ...
+
+Positional args <mode 0-3> <type m|s|r> exactly as the reference; EOF on
+stdin ends the stream (the reference exit(1)s, src/rffrontend.cpp:50-52).
+The host loop double-buffers: block k+1 is read from the pipe and shipped to
+the device while block k computes (JAX dispatch is async), then k's PCM is
+fetched and written.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def make_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="real_time_sdr_tpu",
+        description="TPU-native FM mono/stereo receiver with RDS decoding")
+    ap.add_argument("mode", type=int, choices=(0, 1, 2, 3),
+                    help="sample-rate mode (src/project.cpp:67-108)")
+    ap.add_argument("type", choices=("m", "s", "r"),
+                    help="m=mono, s=stereo, r=stereo+RDS")
+    ap.add_argument("--input", default="-", help="raw uint8 IQ file, -=stdin")
+    ap.add_argument("--output", default="-", help="PCM out, - = stdout")
+    ap.add_argument("--pll-tier", type=int, default=1, choices=(1, 2),
+                    help="1=exact sequential PLL, 2=block-parallel Newton")
+    ap.add_argument("--checkpoint", default=None,
+                    help="state .npz to resume from / save on EOF")
+    ap.add_argument("--max-blocks", type=int, default=None)
+    ap.add_argument("--stats", action="store_true",
+                    help="per-block wall clock vs real-time budget on stderr")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = make_parser().parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from real_time_sdr_tpu.models.receiver import Receiver
+    from real_time_sdr_tpu.models.rds_framing import RdsFramer
+    from real_time_sdr_tpu.utils.audio import mono_pcm, stereo_pcm, write_pcm
+    from real_time_sdr_tpu.utils import state as state_util
+
+    stereo = args.type in ("s", "r")
+    rds = args.type == "r"
+    rx = Receiver(args.mode, stereo=stereo, rds=rds, pll_tier=args.pll_tier)
+    cfg = rx.cfg
+    block_bytes = 2 * cfg.block_size_iq
+    budget = cfg.block_size_iq / cfg.rf_fs  # real-time seconds per block
+
+    fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+    fout = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
+
+    state = rx.init_state()
+    if args.checkpoint:
+        try:
+            state = state_util.load_state(args.checkpoint, state)
+            print(f"resumed state from {args.checkpoint}", file=sys.stderr)
+        except FileNotFoundError:
+            pass
+
+    def emit(kind, val):
+        if kind == "group":
+            pi, gt, pty = val
+            print(f"PI: {pi:x}", file=sys.stderr)
+            print(f"PTY: {pty}", file=sys.stderr)
+        elif kind == "ps":
+            print(f"Program Service: {val}", file=sys.stderr)
+        elif kind == "radiotext":
+            print(f"RadioText: {val}", file=sys.stderr)
+
+    framer = RdsFramer(on_event=emit) if rds else None
+
+    def read_block():
+        buf = fin.read(block_bytes)
+        if buf is None or len(buf) < block_bytes:
+            return None
+        return jnp.asarray(np.frombuffer(buf, dtype=np.uint8))
+
+    n_blocks = 0
+    pending = None  # (out, t_start) one block in flight
+    t_total = 0.0
+    nxt = read_block()
+    while nxt is not None:
+        t0 = time.perf_counter()
+        state, out = rx.jit_step(state, nxt)  # async dispatch
+        nxt = read_block()                    # overlap IO with compute
+        if stereo:
+            pcm = stereo_pcm(out.left, out.right)
+        else:
+            pcm = mono_pcm(out.mono)
+        write_pcm(fout, pcm)                  # forces device sync
+        if framer is not None:
+            n = int(out.rds_nbits)
+            if n > 0:
+                framer.feed(np.asarray(out.rds_bits)[:n])
+        dt = time.perf_counter() - t0
+        t_total += dt
+        n_blocks += 1
+        if args.stats:
+            print(f"block {n_blocks}: {dt*1e3:.2f} ms "
+                  f"({budget/dt:.1f}x real time)", file=sys.stderr)
+        if args.max_blocks and n_blocks >= args.max_blocks:
+            break
+    fout.flush()
+
+    if args.checkpoint:
+        state_util.save_state(args.checkpoint, state)
+        print(f"saved state to {args.checkpoint}", file=sys.stderr)
+    if args.stats and n_blocks:
+        print(f"total: {n_blocks} blocks, avg {t_total/n_blocks*1e3:.2f} ms"
+              f"/block, {budget*n_blocks/t_total:.1f}x real time",
+              file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

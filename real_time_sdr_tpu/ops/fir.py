@@ -3,28 +3,38 @@ polyphase resampling with overlap-save carried state.
 
 TPU-native redesign of the reference's hot kernel pair
 (``convolveFIR`` decimating overload, src/filter.cpp:106-121, and the fused
-polyphase resampler, src/filter.cpp:123-147). Instead of scalar MAC loops the
-block is expressed as dense tensor contractions with *compile-time-constant*
-gather indices, so XLA lowers it to MXU/VPU-friendly fused ops:
+polyphase resampler, src/filter.cpp:123-147).
 
-  y[n] = sum_m  B[p_n, m] * xx[T-1 + q_n - m]
+Formulation: every (up, down) case reduces to ONE dense matmul per block —
+the MXU-shaped "framed polyphase" form. Group R consecutive outputs
+(R = up * g, with g chosen so R is ~128) into a frame; those outputs read a
+contiguous J-sample window of the (tail-prefixed) input advancing by
+g*down samples per frame:
 
-where ``p_n = (n*down) % up`` is the polyphase phase, ``q_n = n*down // up``
-the input anchor, ``B`` the (up, T) zero-padded tap bank, and ``xx`` the block
-prefixed with the carried tail. For ``up == down == 1`` this degenerates to a
-plain causal FIR; for ``up == 1`` to the decimating front-end filter.
+    y[c*R + r] = sum_j  F[c, j] * W[j, r]
+    F[c, j]    = xx[c*g*down + j]                  (pure reshape+slice)
+    W[j, r]    = h[p_r + up*m]  where j = T-1 + qr_r - m, else 0
 
-State contract: the carry holds the last ``T-1 = ceil(K/up)-1`` *input*
-samples. (The reference stores K-1 samples; only the final T-1 are ever read
-by its indexing, so the contracts are equivalent. For the long polyphase
-audio banks the reference's state copy reads before the buffer start —
-UB we do not replicate.)
+with p_r = (r*down) % up, qr_r = (r*down) // up, T = ceil(K/up). F is built
+from shifted slices of one reshape — no gathers, no 1-channel convolutions,
+both of which are pathologically slow on TPU. W is a (J, R) compile-time
+constant. The matmul wastes ~J/T flops on structural zeros but runs at MXU
+speed, which on TPU beats any "efficient" scalar indexing by orders of
+magnitude.
+
+State contract: the carry holds the last ``T-1`` *input* samples. (The
+reference stores K-1 samples; only the final T-1 are ever read by its
+indexing, so the contracts are equivalent. For the long polyphase audio
+banks the reference's state copy reads before the buffer start — UB we do
+not replicate.)
+
+A single-nonzero-tap filter (the reference's all-pass delay,
+src/filter.cpp:73-78) is detected and lowered to a scaled slice.
 """
 
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -51,25 +61,25 @@ class PolyFIR:
         f = PolyFIR(h, up=247, down=640)
         y, new_tail = f(x, tail)        # x: (..., N), tail: (..., T-1)
 
-    The instance precomputes the phase bank and gather indices once per input
-    length (cached), all as NumPy constants folded into the jitted graph.
+    Per input length a constant "plan" (frame geometry + weight matrix) is
+    computed once on the host and folded into the jitted graph.
     """
 
     def __init__(self, h: np.ndarray, up: int = 1, down: int = 1,
-                 dtype=jnp.float32):
+                 target_frame: int = 128):
         h = np.asarray(h, dtype=np.float64)
         assert h.ndim == 1
         self.up = int(up)
         self.down = int(down)
         self.num_taps = K = h.shape[0]
-        self.T = T = -(-K // up)  # input samples touched per output
-        # Zero-padded polyphase bank: B[p, m] = h[p + up*m]
-        bank = np.zeros((up, T), dtype=np.float64)
-        for p in range(up):
-            taps_p = h[p::up]
-            bank[p, : taps_p.shape[0]] = taps_p
-        self._bank = bank  # float64; cast to the block dtype at call time
+        self.T = -(-K // up)  # input samples touched per output
         self._h = h
+        self._target_frame = target_frame
+        nz = np.nonzero(h)[0]
+        # single-tap filters (all-pass delay) lower to a scaled shift
+        self._single_tap = (len(nz) == 1) and up == 1 and down == 1
+        self._tap_pos = int(nz[0]) if len(nz) else 0
+        self._tap_gain = float(h[self._tap_pos]) if len(nz) else 0.0
         self._plan_cache: dict[int, tuple] = {}
 
     @property
@@ -77,18 +87,29 @@ class PolyFIR:
         return self.T - 1
 
     def _plan(self, n: int):
-        """Constant index plan for an input block of n samples."""
         if n in self._plan_cache:
             return self._plan_cache[n]
-        up, down, T = self.up, self.down, self.T
+        up, down, T, K = self.up, self.down, self.T, self.num_taps
         n_out = (n * up) // down  # C++ truncation (src/filter.cpp:124)
-        ns = np.arange(n_out, dtype=np.int64)
-        phase = (ns * down) % up
-        q = (ns * down) // up
-        # frame f[n, m] = xx[T-1 + q_n - m]  ->  gather index (n_out, T)
-        idx = (T - 1 + q[:, None] - np.arange(T)[None, :]).astype(np.int32)
-        bank_rows = self._bank[phase]  # (n_out, T) constant
-        plan = (n_out, idx, bank_rows)
+        g = max(1, round(self._target_frame / up))
+        R = g * up                      # outputs per frame
+        stride = g * down               # input samples per frame
+        rs = np.arange(R, dtype=np.int64)
+        p = (rs * down) % up
+        qr = (rs * down) // up
+        J = T + int(qr.max())           # window samples per frame
+        # W[j, r] = h[p_r + up*m] at j = (T-1) + qr_r - m
+        W = np.zeros((J, R), dtype=np.float64)
+        for r in range(R):
+            for m in range(T):
+                k = p[r] + up * m
+                if k < K:
+                    W[T - 1 + qr[r] - m, r] = self._h[k]
+        c_frames = -(-n_out // R)
+        s_over = -(-J // stride)        # how many stride-rows a window spans
+        pad_to = (c_frames + s_over) * stride
+        plan = (n_out, R, stride, J, W.astype(np.float32), c_frames, s_over,
+                pad_to)
         self._plan_cache[n] = plan
         return plan
 
@@ -97,35 +118,28 @@ class PolyFIR:
 
         Returns (y, new_tail) with y: (..., N*up//down)."""
         n = x.shape[-1]
-        n_out, idx, bank_rows = self._plan(n)
         xx = jnp.concatenate([tail, x.astype(tail.dtype)], axis=-1)
-        if self.up == 1 and self.T > 1:
-            # Frames are plain strided windows; a strided conv keeps XLA on
-            # its native convolution path (no gather materialization).
-            y = _conv_decimate(xx, self._h.astype(x.dtype), self.down, n_out)
+        if self._single_tap:
+            # pure delay of (K-1-tap_pos)... reference indexing: y[n] =
+            # h[pos] * xx[T-1 + n - pos]
+            start = self.T - 1 - self._tap_pos
+            y = self._tap_gain * jax.lax.slice_in_dim(
+                xx, start, start + n, axis=-1)
         else:
-            frames = jnp.take(xx, jnp.asarray(idx), axis=-1)  # (..., n_out, T)
-            y = jnp.einsum("...nt,nt->...n", frames,
-                           jnp.asarray(bank_rows, dtype=frames.dtype),
+            n_out, R, stride, J, W, c_frames, s_over, pad_to = self._plan(n)
+            pad = pad_to - xx.shape[-1]
+            if pad > 0:
+                xp = jnp.pad(xx, [(0, 0)] * (xx.ndim - 1) + [(0, pad)])
+            else:
+                xp = xx
+            rows = xp.reshape(xp.shape[:-1] + (-1, stride))
+            # window for frame c spans rows c .. c+s_over-1
+            parts = [rows[..., s:s + c_frames, :] for s in range(s_over)]
+            frames = jnp.concatenate(parts, axis=-1)[..., :J]
+            y = jnp.einsum("...cj,jr->...cr", frames,
+                           jnp.asarray(W, dtype=frames.dtype),
                            precision=jax.lax.Precision.HIGHEST)
-        new_tail = xx[..., xx.shape[-1] - self.tail_len:] if self.tail_len else xx[..., :0]
+            y = y.reshape(y.shape[:-2] + (-1,))[..., :n_out]
+        new_tail = (xx[..., xx.shape[-1] - self.tail_len:]
+                    if self.tail_len else xx[..., :0])
         return y, new_tail
-
-
-@partial(jax.jit, static_argnames=("down", "n_out"))
-def _conv_decimate(xx, h, down, n_out):
-    """Causal FIR + decimation via lax strided convolution.
-
-    y[n] = sum_k h[k] * xx[(K-1) + n*down - k]  for n < n_out.
-    """
-    lead = xx.shape[:-1]
-    length = xx.shape[-1]
-    lhs = xx.reshape((-1, 1, length))
-    rhs = h[::-1].reshape((1, 1, h.shape[0]))
-    out = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(down,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=lhs.dtype,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return out.reshape(lead + (-1,))[..., :n_out]

@@ -187,26 +187,30 @@ def _newton_chunk(x: jax.Array, carry: PllCarry, p: PllParams, iters: int):
     def solve(e_lin, m, phi_ref):
         """Solve s_{k+1} = A_k s_k + b_k for the linearized detector
         e_k ~= e_lin_k - m_k*(phi_k - phi_ref_k); k=0 uses the exact e0
-        (m_0 = 0). Returns phase trajectory phi[1..N]."""
+        (m_0 = 0). Returns phase trajectory phi[1..N].
+
+        The 2x2 affine maps are carried as six SEPARATE (n,)-arrays so every
+        combine is a lane-aligned elementwise op — materializing (n, 2, 2)
+        tensors would pad each tiny matrix to a full TPU tile.
+        """
         g = e_lin + m * phi_ref
-        A = jnp.empty((n, 2, 2), x.dtype)
-        A = A.at[:, 0, 0].set(1.0)
-        A = A.at[:, 0, 1].set(-ki * m)
-        A = A.at[:, 1, 0].set(1.0)
-        A = A.at[:, 1, 1].set(1.0 - kpi * m)
-        b = jnp.stack([ki * g, kpi * g], axis=-1)
+        ones = jnp.ones_like(m)
+        elems = (ones, -ki * m,            # a11, a12
+                 ones, 1.0 - kpi * m,      # a21, a22
+                 ki * g, kpi * g)          # b1, b2
 
-        hi = jax.lax.Precision.HIGHEST
+        def combine(l, r):
+            l11, l12, l21, l22, lb1, lb2 = l
+            r11, r12, r21, r22, rb1, rb2 = r
+            return (r11 * l11 + r12 * l21, r11 * l12 + r12 * l22,
+                    r21 * l11 + r22 * l21, r21 * l12 + r22 * l22,
+                    r11 * lb1 + r12 * lb2 + rb1,
+                    r21 * lb1 + r22 * lb2 + rb2)
 
-        def combine(left, right):
-            al, bl = left
-            ar, br = right
-            return (jnp.einsum("...ij,...jk->...ik", ar, al, precision=hi),
-                    jnp.einsum("...ij,...j->...i", ar, bl, precision=hi) + br)
-
-        P, v = jax.lax.associative_scan(combine, (A, b), axis=0)
-        s = jnp.einsum("...ij,j->...i", P, s0, precision=hi) + v
-        return s[:, 1]  # phi[1..N]
+        p11, p12, p21, p22, v1, v2 = jax.lax.associative_scan(
+            combine, elems, axis=-1)
+        i0, ph0 = s0[0], s0[1]
+        return p21 * i0 + p22 * ph0 + v2  # phi[1..N]
 
     # Initial trajectory: extrapolate the carried phase with the integrator,
     # which in lock equals the per-sample frequency correction

@@ -1,0 +1,73 @@
+"""CLI end-to-end: the reference's pipe workflow
+(rtl_sdr | ./project <mode> <type> | aplay) driven through subprocesses."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from real_time_sdr_tpu.config import mode_config
+from real_time_sdr_tpu.utils import synth
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def station_file(tmp_path_factory):
+    cfg = mode_config(0)
+    iq, truth = synth.station_iq(cfg, 24, ps_name="CLI-TEST", pi=0x6D0F,
+                                 pty=3)
+    p = tmp_path_factory.mktemp("iq") / "station.raw"
+    iq.tofile(p)
+    return p, truth, cfg
+
+
+def run_cli(args, stdin_file):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    with open(stdin_file, "rb") as f:
+        return subprocess.run(
+            [sys.executable, "-m", "real_time_sdr_tpu.cli", "--cpu", *args],
+            stdin=f, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            env=env, timeout=600)
+
+
+def test_cli_stereo_rds(station_file):
+    path, truth, cfg = station_file
+    r = run_cli(["0", "r"], path)
+    assert r.returncode == 0
+    pcm = np.frombuffer(r.stdout, dtype="<i2")
+    assert len(pcm) == 24 * cfg.audio_block * 2  # stereo interleaved
+    err = r.stderr.decode()
+    assert "Program Service: CLI-TEST" in err
+    assert "PI: 6d0f" in err
+    assert "PTY: Sports" in err
+
+
+def test_cli_mono(station_file):
+    path, truth, cfg = station_file
+    r = run_cli(["0", "m", "--max-blocks", "6", "--stats"], path)
+    assert r.returncode == 0
+    pcm = np.frombuffer(r.stdout, dtype="<i2")
+    assert len(pcm) == 6 * cfg.audio_block
+    assert b"x real time" in r.stderr
+
+
+def test_cli_checkpoint_resume(station_file, tmp_path):
+    path, truth, cfg = station_file
+    ckpt = tmp_path / "state.npz"
+    r1 = run_cli(["0", "m", "--max-blocks", "4", "--checkpoint", str(ckpt)],
+                 path)
+    assert r1.returncode == 0
+    assert ckpt.exists()
+    r2 = run_cli(["0", "m", "--max-blocks", "4", "--checkpoint", str(ckpt)],
+                 path)
+    assert b"resumed state" in r2.stderr
+
+
+def test_cli_bad_args(station_file):
+    path, _, _ = station_file
+    r = run_cli(["7", "m"], path)
+    assert r.returncode != 0
