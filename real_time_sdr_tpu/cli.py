@@ -15,10 +15,15 @@ fetched and written.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 
 def make_parser() -> argparse.ArgumentParser:
@@ -39,6 +44,11 @@ def make_parser() -> argparse.ArgumentParser:
     ap.add_argument("--stats", action="store_true",
                     help="per-block wall clock vs real-time budget on stderr")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--io-depth", type=int, default=4,
+                    help="ring-buffer depth for the native I/O threads")
+    ap.add_argument("--drop-oldest", action="store_true",
+                    help="real-time mode: drop stale input blocks instead of "
+                         "backpressuring the source")
     return ap
 
 
@@ -52,7 +62,8 @@ def main(argv=None) -> int:
 
     from real_time_sdr_tpu.models.receiver import Receiver
     from real_time_sdr_tpu.models.rds_framing import RdsFramer
-    from real_time_sdr_tpu.utils.audio import mono_pcm, stereo_pcm, write_pcm
+    from real_time_sdr_tpu.utils.audio import mono_pcm, stereo_pcm
+    from real_time_sdr_tpu.utils import native_io
     from real_time_sdr_tpu.utils import state as state_util
 
     stereo = args.type in ("s", "r")
@@ -64,6 +75,13 @@ def main(argv=None) -> int:
 
     fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
     fout = sys.stdout.buffer if args.output == "-" else open(args.output, "wb")
+    # Native threaded ring-buffered I/O (native/io_runtime.cpp); transparent
+    # Python fallback when the shared library is unavailable.
+    reader = native_io.BlockReader(fin, block_bytes,
+                                   depth=args.io_depth,
+                                   drop_oldest=args.drop_oldest)
+    max_pcm_bytes = (2 if stereo else 1) * cfg.audio_block * 2
+    writer = native_io.BlockWriter(fout, max_pcm_bytes, depth=2 * args.io_depth)
 
     state = rx.init_state()
     if args.checkpoint:
@@ -86,10 +104,10 @@ def main(argv=None) -> int:
     framer = RdsFramer(on_event=emit) if rds else None
 
     def read_block():
-        buf = fin.read(block_bytes)
-        if buf is None or len(buf) < block_bytes:
+        buf = reader.next()
+        if buf is None:
             return None
-        return jnp.asarray(np.frombuffer(buf, dtype=np.uint8))
+        return jnp.asarray(buf)
 
     n_blocks = 0
     pending = None  # (out, t_start) one block in flight
@@ -103,7 +121,7 @@ def main(argv=None) -> int:
             pcm = stereo_pcm(out.left, out.right)
         else:
             pcm = mono_pcm(out.mono)
-        write_pcm(fout, pcm)                  # forces device sync
+        writer.write(np.asarray(pcm))         # fetch forces device sync
         if framer is not None:
             n = int(out.rds_nbits)
             if n > 0:
@@ -116,6 +134,11 @@ def main(argv=None) -> int:
                   f"({budget/dt:.1f}x real time)", file=sys.stderr)
         if args.max_blocks and n_blocks >= args.max_blocks:
             break
+    reader.close()
+    writer.close()  # drains the ring
+    if reader.dropped:
+        print(f"dropped {reader.dropped} input blocks (consumer too slow)",
+              file=sys.stderr)
     fout.flush()
 
     if args.checkpoint:

@@ -95,7 +95,9 @@ class StereoPath:
 
     def __call__(self, demod: jax.Array, state: StereoState):
         pilot, pilot_tail = self.pilot_fir(demod, state.pilot_tail)
-        carrier, pll = self._pll(pilot, state.pll, self.pll_params)
+        carrier, pll = self._pll(jax.lax.optimization_barrier(pilot),
+                                 state.pll, self.pll_params)
+        carrier = jax.lax.optimization_barrier(carrier)
         band, band_tail = self.band_fir(demod, state.band_tail)
         stereo_dc = 2.0 * band * carrier
         mono_delay, delay_tail = self.delay_fir(demod, state.delay_tail)

@@ -82,7 +82,9 @@ class RdsPath:
         band, band_tail = self.band_fir(demod, state.band_tail)
         squared = band * band
         pilot, pilot_tail = self.pilot_fir(squared, state.pilot_tail)
-        carrier, pll = self._pll(pilot, state.pll, self.pll_params)
+        carrier, pll = self._pll(jax.lax.optimization_barrier(pilot),
+                                 state.pll, self.pll_params)
+        carrier = jax.lax.optimization_barrier(carrier)
         delayed, delay_tail = self.delay_fir(band, state.delay_tail)
         mixed = 2.0 * delayed * carrier
         filt, baseband_tail = self.baseband_fir(mixed, state.baseband_tail)

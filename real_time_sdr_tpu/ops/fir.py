@@ -119,6 +119,11 @@ class PolyFIR:
         Returns (y, new_tail) with y: (..., N*up//down)."""
         n = x.shape[-1]
         xx = jnp.concatenate([tail, x.astype(tail.dtype)], axis=-1)
+        # Materialize the stage input: without this, XLA's fusion search over
+        # chained frame-construction patterns (pad/reshape/slice/concat from
+        # consecutive FIR stages) explodes both compile time (>15 min) and
+        # runtime (~50x) on TPU. Measured on the RDS chain, see bench notes.
+        xx = jax.lax.optimization_barrier(xx)
         if self._single_tap:
             # pure delay of (K-1-tap_pos)... reference indexing: y[n] =
             # h[pos] * xx[T-1 + n - pos]
