@@ -32,6 +32,8 @@ def main() -> None:
     ap.add_argument("--no-rds", action="store_true")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--block-scan", action="store_true",
+                    help="per-block lax.scan instead of segment mode")
     args = ap.parse_args()
 
     import jax
@@ -51,8 +53,13 @@ def main() -> None:
     iq, _ = synth.station_iq(cfg, args.blocks)
     # distinct data per channel (same station, channel-dependent time shift)
     per_ch = np.stack([np.roll(iq, 2 * 997 * c) for c in range(args.channels)])
-    blocks = jnp.asarray(np.ascontiguousarray(
-        per_ch.reshape(args.channels, args.blocks, -1).transpose(1, 0, 2)))
+    if args.block_scan:
+        blocks = jnp.asarray(np.ascontiguousarray(
+            per_ch.reshape(args.channels, args.blocks, -1).transpose(1, 0, 2)))
+        run = bank.run
+    else:
+        blocks = jnp.asarray(per_ch)  # (C, B*2N): one segment per channel
+        run = bank.run_segment
 
     state = bank.init_state()
 
@@ -62,7 +69,7 @@ def main() -> None:
         return np.asarray(x[..., -1, -8:])
 
     # compile + warm
-    s2, out = bank.run(state, blocks)
+    s2, out = run(state, blocks)
     sync(out.left)
 
     # tunnel round-trip floor (dispatch nothing, fetch something tiny)
@@ -74,7 +81,7 @@ def main() -> None:
     best = float("inf")
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        s2, out = bank.run(state, blocks)
+        s2, out = run(state, blocks)
         sync(out.left)
         best = min(best, time.perf_counter() - t0)
     best = max(best - rt_floor, 1e-9)

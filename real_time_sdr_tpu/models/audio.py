@@ -20,6 +20,7 @@ from real_time_sdr_tpu.ops import filters
 from real_time_sdr_tpu.ops.fir import PolyFIR, state_len
 from real_time_sdr_tpu.ops.pll import (PllCarry, PllParams, pll_init,
                                        pll_newton, pll_scan)
+from real_time_sdr_tpu.ops.sync import FeedforwardSync
 
 
 def _audio_bank(cfg: ReceiverConfig):
@@ -82,7 +83,12 @@ class StereoPath:
         self.pll_params = PllParams(freq=int(C.PILOT_FREQ), fs=fs_if,
                                     nco_scale=2.0, phase_adjust=0.0,
                                     norm_bw=C.PLL_BW_STEREO)
-        self._pll = pll_scan if pll_tier == 1 else pll_newton
+        if pll_tier == 3:
+            self._sync = FeedforwardSync(self.pll_params)
+            self._pll = self._sync.__call__
+        else:
+            self._sync = None
+            self._pll = pll_scan if pll_tier == 1 else pll_newton
 
     def init_state(self, batch: tuple = ()) -> StereoState:
         t = lambda n: jnp.zeros(batch + (n,), jnp.float32)
@@ -91,7 +97,8 @@ class StereoPath:
             pilot_tail=t(k), band_tail=t(k), delay_tail=t(k),
             mono_tail=t(self.mono_fir.tail_len),
             stereo_tail=t(self.stereo_fir.tail_len),
-            pll=pll_init(batch))
+            pll=(self._sync.init(batch) if self._sync is not None
+                 else pll_init(batch)))
 
     def __call__(self, demod: jax.Array, state: StereoState):
         pilot, pilot_tail = self.pilot_fir(demod, state.pilot_tail)

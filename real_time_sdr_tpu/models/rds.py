@@ -27,6 +27,7 @@ from real_time_sdr_tpu.ops.pll import (PllCarry, PllParams, pll_init,
                                        pll_newton, pll_scan)
 from real_time_sdr_tpu.ops.rds_bits import (BitSyncState, bit_sync_init,
                                             decode_block_bits)
+from real_time_sdr_tpu.ops.sync import FeedforwardSync
 
 
 class RdsState(NamedTuple):
@@ -65,7 +66,13 @@ class RdsPath:
         self.pll_params = PllParams(freq=int(C.RDS_PILOT_FREQ), fs=fs_if,
                                     nco_scale=0.5, phase_adjust=0.0,
                                     norm_bw=C.PLL_BW_RDS)
-        self._pll = pll_scan if pll_tier == 1 else pll_newton
+        if pll_tier == 3:
+            # narrower smoothing matches the RDS loop's 10x narrower bw
+            self._sync = FeedforwardSync(self.pll_params, smooth_taps=129)
+            self._pll = self._sync.__call__
+        else:
+            self._sync = None
+            self._pll = pll_scan if pll_tier == 1 else pll_newton
 
     def init_state(self, batch: tuple = ()) -> RdsState:
         t = lambda n: jnp.zeros(batch + (n,), jnp.float32)
@@ -74,11 +81,37 @@ class RdsPath:
             band_tail=t(k), pilot_tail=t(k), delay_tail=t(k),
             baseband_tail=t(self.baseband_fir.tail_len),
             rrc_tail=t(self.rrc_fir.tail_len),
-            pll=pll_init(batch), bits=bit_sync_init(batch),
+            pll=(self._sync.init(batch) if self._sync is not None
+                 else pll_init(batch)),
+            bits=bit_sync_init(batch),
             block_count=jnp.zeros(batch, jnp.int32))
 
-    def __call__(self, demod: jax.Array, state: RdsState):
+    def _decode_one(self, clean: jax.Array, bit_state: BitSyncState,
+                    block_count: jax.Array):
+        """Per-RDS-block slicer/decoder with the reference's 5-block warm-up
+        gate (src/rds.cpp:135): before warm-up the decoder does not run at
+        all, so the carried bit state holds."""
         cfg = self.cfg
+        bits, n_bits, new_bits = decode_block_bits(
+            clean, bit_state, cfg.sps, cfg.max_symbols, cfg.max_bits)
+        warm = block_count > 5
+        n_bits = jnp.where(warm, n_bits, 0)
+        new_bits = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(warm, new, old), new_bits, bit_state)
+        return bits, n_bits, new_bits
+
+    def __call__(self, demod: jax.Array, state: RdsState):
+        """demod: (if_block,) for block mode, or (nb*if_block,) for segment
+        mode. Segment mode runs the wideband stages (band/pilot BPFs, PLL,
+        mix) over the whole segment in one pass, then scans the narrowband
+        tail (baseband resample, RRC, slicer) per block so the decoded bits
+        are identical to block-by-block execution.
+
+        Returns ((bits, n_bits, clean), state) with a leading nb axis on the
+        outputs in segment mode.
+        """
+        cfg = self.cfg
+        nb = demod.shape[-1] // cfg.if_block
         band, band_tail = self.band_fir(demod, state.band_tail)
         squared = band * band
         pilot, pilot_tail = self.pilot_fir(squared, state.pilot_tail)
@@ -87,20 +120,45 @@ class RdsPath:
         carrier = jax.lax.optimization_barrier(carrier)
         delayed, delay_tail = self.delay_fir(band, state.delay_tail)
         mixed = 2.0 * delayed * carrier
-        filt, baseband_tail = self.baseband_fir(mixed, state.baseband_tail)
-        clean, rrc_tail = self.rrc_fir(filt, state.rrc_tail)
 
-        bits, n_bits, bit_state = decode_block_bits(
-            clean, state.bits, cfg.sps, cfg.max_symbols, cfg.max_bits)
-        # Warm-up gate: the reference ignores the first 5 blocks while the
-        # filters/PLL settle (src/rds.cpp:135). Masking n_bits to 0 keeps the
-        # carried bit state from training on garbage... the reference simply
-        # does not run the decoder at all, so neither do we: hold prior state.
-        warm = state.block_count > 5
-        n_bits = jnp.where(warm, n_bits, 0)
-        bit_state = jax.tree_util.tree_map(
-            lambda new, old: jnp.where(warm, new, old), bit_state, state.bits)
-        new_state = RdsState(band_tail, pilot_tail, delay_tail, baseband_tail,
-                             rrc_tail, pll, bit_state,
-                             state.block_count + 1)
+        if nb == 1:
+            filt, baseband_tail = self.baseband_fir(mixed,
+                                                    state.baseband_tail)
+            clean, rrc_tail = self.rrc_fir(filt, state.rrc_tail)
+            bits, n_bits, bit_state = self._decode_one(
+                clean, state.bits, state.block_count)
+            new_state = RdsState(band_tail, pilot_tail, delay_tail,
+                                 baseband_tail, rrc_tail, pll, bit_state,
+                                 state.block_count + 1)
+            return (bits, n_bits, clean), new_state
+
+        # Segment mode: per-block narrowband processing, but BATCHED — the
+        # FIR carried state is pure input history, so block b's tail is just
+        # a slice of block b-1's data, all available in the segment. Both
+        # FIRs run once over a (nb, ...) batch; results are exactly the
+        # per-block execution (incl. the reference's per-block resampler
+        # output truncation). Only the bit-sync state machine stays a scan.
+        mixed_blocks = mixed.reshape((nb, cfg.if_block))
+        bb_tails = jnp.concatenate(
+            [state.baseband_tail[None],
+             mixed_blocks[:-1, cfg.if_block - self.baseband_fir.tail_len:]],
+            axis=0)
+        filt, _ = self.baseband_fir(mixed_blocks, bb_tails)  # (nb, rds_block)
+        rrc_tails = jnp.concatenate(
+            [state.rrc_tail[None],
+             filt[:-1, filt.shape[-1] - self.rrc_fir.tail_len:]], axis=0)
+        clean, _ = self.rrc_fir(filt, rrc_tails)
+
+        def body(carry, clean_b):
+            bit_state, count = carry
+            bits, n_bits, bit_state = self._decode_one(clean_b, bit_state,
+                                                       count)
+            return (bit_state, count + 1), (bits, n_bits)
+
+        (bit_state, count), (bits, n_bits) = jax.lax.scan(
+            body, (state.bits, state.block_count), clean)
+        bb_tail = mixed_blocks[-1, cfg.if_block - self.baseband_fir.tail_len:]
+        rrc_tail = filt[-1, filt.shape[-1] - self.rrc_fir.tail_len:]
+        new_state = RdsState(band_tail, pilot_tail, delay_tail, bb_tail,
+                             rrc_tail, pll, bit_state, count)
         return (bits, n_bits, clean), new_state

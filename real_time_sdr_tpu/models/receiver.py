@@ -98,3 +98,18 @@ class Receiver:
 
     def jit_run_blocks(self, state, iq_blocks):
         return self._jit_scan(state, iq_blocks)
+
+    def run_segment(self, state: ReceiverState, iq_segment: jax.Array):
+        """Segment mode: process B blocks as ONE contiguous pass.
+
+        iq_segment: (..., B * 2*block_size_iq) uint8. All wideband stages
+        (frontend, audio, stereo PLL, RDS band/carrier recovery) run over the
+        whole segment — amortizing per-op dispatch across B blocks — while
+        the narrowband RDS tail keeps exact per-block semantics internally.
+        Audio comes back as (..., B*audio_block); RDS bits as
+        (..., B, max_bits). Numerically equivalent to run_blocks for
+        integer-ratio audio modes (0/1); fractional modes (2/3) resample the
+        segment uniformly instead of replicating the reference's per-block
+        output-count truncation stutter.
+        """
+        return self.step(state, iq_segment)

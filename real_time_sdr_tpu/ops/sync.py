@@ -1,0 +1,146 @@
+"""Tier-3 carrier synchronizer: feedforward analytic-phase estimation.
+
+The reference regenerates the 38/57 kHz carriers with a per-sample PLL
+(src/pll.cpp) — an inherently sequential recurrence. Tiers 1/2 (ops.pll)
+reproduce that loop exactly / via block-parallel Newton. This module is the
+fully TPU-native alternative: *no recurrence at all*.
+
+    pilot -> [Hilbert FIR + matched delay] -> analytic signal z
+          -> rotate by the exact nominal carrier ramp (integer-wrapped)
+          -> smooth z with a short FIR (the loop filter's noise-averaging role)
+          -> residual phase = atan2(Im, Re); unwrap = one cumsum
+          -> carrier = cos(scale * (nominal ramp + residual) + adjust)
+
+Everything is a handful of full-block vectorized ops (two FIRs, trig,
+a cumsum), so cost is independent of any loop bandwidth and the graph depth
+is O(1) — this is what lets a whole multi-block segment's carrier recovery
+run as ~10 TPU kernels.
+
+Semantics: approximates the locked PLL (validated e2e: stereo separation and
+RDS BER); it does not reproduce the reference's acquisition transient.
+The phase estimate at FIR output k describes input sample k-D (group delay
+D); consumers get cos at the (k-1) convention of the reference by advancing
+the residual linearly by its measured per-block slope — exact for the
+nominal ramp, first-order for the residual.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from real_time_sdr_tpu.ops.fir import PolyFIR
+from real_time_sdr_tpu.ops.pll import PllParams
+
+__all__ = ["FeedforwardSync", "FFSyncCarry"]
+
+_TWO_PI = 2.0 * math.pi
+_FOUR_PI = 4.0 * math.pi
+
+
+def _hilbert_taps(taps: int) -> np.ndarray:
+    """Type-III FIR Hilbert transformer, Hann-windowed (odd length)."""
+    assert taps % 2 == 1
+    m = (taps - 1) // 2
+    k = np.arange(taps) - m
+    h = np.zeros(taps)
+    odd = (k % 2) != 0
+    h[odd] = 2.0 / (np.pi * k[odd])
+    i = np.arange(taps, dtype=np.float64)
+    w = np.sin(i * np.pi / taps) ** 2
+    return h * w
+
+
+class FFSyncCarry(NamedTuple):
+    i_tail: jax.Array       # delay-line tail (in-phase path)
+    q_tail: jax.Array       # Hilbert FIR tail
+    sm_i_tail: jax.Array    # smoothing FIR tails (analytic I/Q)
+    sm_q_tail: jax.Array
+    trig: jax.Array         # int32 global sample counter mod period
+    resid: jax.Array        # unwrapped residual phase at the last sample
+
+
+def _wrap_pi(x):
+    return x - _TWO_PI * jnp.round(x / _TWO_PI)
+
+
+class FeedforwardSync:
+    """Drop-in carrier synchronizer with the (pilot, carry, params) call
+    signature of ops.pll.pll_scan."""
+
+    def __init__(self, p: PllParams, hilbert_taps: int = 63,
+                 smooth_taps: int = 65):
+        self.p = p
+        h_h = _hilbert_taps(hilbert_taps)
+        m = (hilbert_taps - 1) // 2
+        delay = np.zeros(hilbert_taps)
+        delay[m] = 1.0
+        self.q_fir = PolyFIR(h_h)
+        self.i_fir = PolyFIR(delay)
+        # Smoothing: normalized Hann — plays the loop filter's noise-averaging
+        # role (equivalent noise bandwidth ~ fs/smooth_taps).
+        i = np.arange(smooth_taps, dtype=np.float64)
+        w = np.sin(i * np.pi / smooth_taps) ** 2
+        self.sm_fir_i = PolyFIR(w / w.sum())
+        self.sm_fir_q = PolyFIR(w / w.sum())
+        # Hilbert/delay-line group delay: where the analytic signal "is" at
+        # FIR output k. The smoother adds (smooth_taps-1)/2 more delay, but
+        # only to the slowly-rotating RESIDUAL (the nominal ramp is removed
+        # before smoothing) — so the ramp rotation uses m alone and the
+        # residual-slope compensation uses the total.
+        self.hilbert_delay = m
+        self.group_delay = m + (smooth_taps - 1) // 2
+
+    def init(self, batch: tuple = ()) -> FFSyncCarry:
+        t = lambda n: jnp.zeros(batch + (n,), jnp.float32)
+        return FFSyncCarry(
+            i_tail=t(self.i_fir.tail_len), q_tail=t(self.q_fir.tail_len),
+            sm_i_tail=t(self.sm_fir_i.tail_len),
+            sm_q_tail=t(self.sm_fir_q.tail_len),
+            trig=jnp.zeros(batch, jnp.int32),
+            resid=jnp.zeros(batch, jnp.float32))
+
+    def __call__(self, x: jax.Array, carry: FFSyncCarry, p: PllParams = None):
+        p = p or self.p
+        n = x.shape[-1]
+        i_sig, i_tail = self.i_fir(x, carry.i_tail)
+        q_sig, q_tail = self.q_fir(x, carry.q_tail)
+
+        # Rotate the analytic signal down by the exact nominal ramp evaluated
+        # at the sample it currently describes: t = trig + k - m.
+        ks = jnp.arange(1, n + 1, dtype=jnp.int32)
+        d_total = self.group_delay
+        ramp_est = p.trig_angle(
+            (carry.trig + ks - self.hilbert_delay) % p.period + p.period)
+        ce, se = jnp.cos(ramp_est), jnp.sin(ramp_est)
+        zr = i_sig * ce + q_sig * se
+        zi = q_sig * ce - i_sig * se
+
+        zr, sm_i_tail = self.sm_fir_i(zr, carry.sm_i_tail)
+        zi, sm_q_tail = self.sm_fir_q(zi, carry.sm_q_tail)
+
+        resid_w = jnp.arctan2(zi, zr)
+        prev = jnp.concatenate([_wrap_pi(carry.resid)[..., None],
+                                resid_w[..., :-1]], axis=-1)
+        d = _wrap_pi(resid_w - prev)
+        resid_u = carry.resid[..., None] + jnp.cumsum(d, axis=-1)
+
+        # Consumer-visible phase: the locked reference loop's carrier sits at
+        # the current sample's pilot phase (measured against ground truth),
+        # so emit phi(k): nominal ramp exactly at trig + k, residual advanced
+        # by its measured mean slope across the D-sample estimator lag.
+        mu = jnp.mean(d, axis=-1, keepdims=True)
+        ramp_out = p.trig_angle((carry.trig + ks) % p.period)
+        phase = ramp_out + resid_u + d_total * mu
+        carrier = jnp.cos(p.nco_scale * phase + p.phase_adjust)
+
+        new = FFSyncCarry(
+            i_tail=i_tail, q_tail=q_tail, sm_i_tail=sm_i_tail,
+            sm_q_tail=sm_q_tail, trig=(carry.trig + n) % p.period,
+            resid=jnp.mod(resid_u[..., -1], _FOUR_PI))
+        return carrier, new

@@ -68,3 +68,8 @@ class ChannelBank:
     def run(self, state, blocks):
         """blocks: (B, C, 2*block_size_iq) uint8 — scan over B blocks."""
         return self._run(state, blocks)
+
+    def run_segment(self, state, segments):
+        """segments: (C, B*2*block_size_iq) uint8 — one fused pass per
+        channel (see Receiver.run_segment)."""
+        return self._step(state, segments)

@@ -1,0 +1,91 @@
+"""Tier-3 feedforward synchronizer: e2e quality gates.
+
+Tier 3 replaces the PLL recurrence with analytic-phase estimation (see
+ops/sync.py). It is validated at the system level: stereo separation and
+RDS decode must hold, and its carrier must track the tier-1 loop's carrier
+once locked.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from real_time_sdr_tpu.models.receiver import Receiver
+from real_time_sdr_tpu.models.rds_framing import RdsFramer
+from real_time_sdr_tpu.ops.pll import PllParams, pll_init, pll_scan
+from real_time_sdr_tpu.ops.sync import FeedforwardSync
+from real_time_sdr_tpu.utils import synth
+
+
+def band_power(x, fs, f, width=30.0):
+    sp = np.abs(np.fft.rfft(x * np.hanning(len(x)))) ** 2
+    freqs = np.fft.rfftfreq(len(x), 1 / fs)
+    return sp[(freqs > f - width) & (freqs < f + width)].sum()
+
+
+def test_tier3_stereo_and_rds_e2e():
+    rx = Receiver(0, stereo=True, rds=True, pll_tier=3)
+    iq, truth = synth.station_iq(rx.cfg, 30, ps_name="TIER3FF ", pi=0x1357,
+                                 pty=6, tone_left=440.0, tone_right=1200.0)
+    state, out = rx.run_segment(rx.init_state(), jnp.asarray(iq))
+    skip = 3 * rx.cfg.audio_block
+    left = np.asarray(out.left)[skip:]
+    right = np.asarray(out.right)[skip:]
+    fs = float(rx.cfg.audio_fs)
+    # separation: each tone at least ~15 dB down on the other channel
+    assert band_power(left, fs, 440) / band_power(right, fs, 440) > 30
+    assert band_power(right, fs, 1200) / band_power(left, fs, 1200) > 30
+
+    framer = RdsFramer()
+    bits, nb = np.asarray(out.rds_bits), np.asarray(out.rds_nbits)
+    for b in range(bits.shape[0]):
+        if nb[b] > 0:
+            framer.feed(bits[b][:nb[b]])
+    assert framer.events.ps_name == "TIER3FF "
+    assert framer.events.pi == 0x1357
+
+
+def test_tier3_carrier_tracks_pll():
+    # locked comparison on an offset, noisy pilot
+    fs, f = 240_000, 19_000
+    p = PllParams(freq=f, fs=fs, nco_scale=2.0, norm_bw=0.01)
+    rng = np.random.default_rng(5)
+    n = 6 * 7350
+    t = np.arange(n) / fs
+    x = (np.cos(2 * np.pi * (f + 30) * t + 0.7)
+         + 0.05 * rng.standard_normal(n)).astype(np.float32)
+
+    carry1 = pll_init()
+    sync = FeedforwardSync(p)
+    carry3 = sync.init()
+    outs1, outs3 = [], []
+    for s in range(0, n, 7350):
+        blk = jnp.asarray(x[s:s + 7350])
+        c1, carry1 = pll_scan(blk, carry1, p)
+        c3, carry3 = sync(blk, carry3, p)
+        outs1.append(np.asarray(c1))
+        outs3.append(np.asarray(c3))
+    a = np.concatenate(outs1)[2 * 7350:]
+    b = np.concatenate(outs3)[2 * 7350:]
+    # phase agreement: carriers strongly correlated (>0.95) after lock
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.95
+
+
+def test_tier3_block_vs_segment_consistency():
+    # tier-3 carried FIR/phase state must chain across block boundaries
+    fs, f = 240_000, 19_000
+    p = PllParams(freq=f, fs=fs, nco_scale=2.0, norm_bw=0.01)
+    n = 4 * 7350
+    t = np.arange(n) / fs
+    x = np.cos(2 * np.pi * (f + 12) * t + 0.2).astype(np.float32)
+
+    sync = FeedforwardSync(p)
+    ca = sync.init()
+    parts = []
+    for s in range(0, n, 7350):
+        out, ca = sync(jnp.asarray(x[s:s + 7350]), ca, p)
+        parts.append(np.asarray(out))
+    blockwise = np.concatenate(parts)
+    segment, _ = sync(jnp.asarray(x), sync.init(), p)
+    np.testing.assert_allclose(blockwise[7350:], np.asarray(segment)[7350:],
+                               atol=5e-2)
