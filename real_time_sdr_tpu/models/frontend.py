@@ -18,39 +18,41 @@ import jax.numpy as jnp
 from real_time_sdr_tpu.config import ReceiverConfig
 from real_time_sdr_tpu.ops import filters
 from real_time_sdr_tpu.ops.demod import fm_demod
-from real_time_sdr_tpu.ops.fir import PolyFIR, state_len
+from real_time_sdr_tpu.ops.fir import DualPhaseFIR
 
 
 class FrontendState(NamedTuple):
-    i_tail: jax.Array   # (taps-1,) RF filter overlap-save tails
-    q_tail: jax.Array
+    iq_tail: jax.Array  # (2*taps-2,) interleaved overlap-save tail
     prev_i: jax.Array   # carried discriminator samples (src/demod.cpp:21-22)
     prev_q: jax.Array
 
 
 class Frontend:
-    """Per-block: normalize, deinterleave, LPF + decimate I/Q, discriminate."""
+    """Per-block: normalize, LPF + decimate I/Q, discriminate.
+
+    The deinterleave never happens explicitly: the dual-phase FIR consumes
+    the interleaved stream directly (strided uint8 shuffles are ~3x the cost
+    of the whole front end on TPU; see ops.fir.DualPhaseFIR).
+    """
 
     def __init__(self, cfg: ReceiverConfig):
         self.cfg = cfg
         h_rf = filters.design_lpf(cfg.rf_fs, cfg.rf_fc, cfg.rf_taps)
-        self.rf_fir = PolyFIR(h_rf, up=1, down=cfg.rf_decim)
-        self._tail = state_len(cfg.rf_taps)
+        self.rf_fir = DualPhaseFIR(h_rf, down=cfg.rf_decim)
 
     def init_state(self, batch: tuple = ()) -> FrontendState:
-        z = jnp.zeros(batch + (self._tail,), jnp.float32)
+        # bfloat16 tail: (u8-128)/128 is exact in bf16, and half the traffic
+        z = jnp.zeros(batch + (self.rf_fir.tail_len,), jnp.bfloat16)
         s = jnp.zeros(batch, jnp.float32)
-        return FrontendState(z, z, s, s)
+        return FrontendState(z, s, s)
 
     def __call__(self, iq_u8: jax.Array, state: FrontendState):
         """iq_u8: (..., 2*block_size_iq) uint8 interleaved I,Q.
 
         Returns (fm_demod (..., if_block), new_state)."""
-        x = (iq_u8.astype(jnp.float32) - 128.0) / 128.0
-        i_raw = x[..., 0::2]
-        q_raw = x[..., 1::2]
-        i_ds, i_tail = self.rf_fir(i_raw, state.i_tail)
-        q_ds, q_tail = self.rf_fir(q_raw, state.q_tail)
+        x = (iq_u8.astype(jnp.bfloat16) - 128.0) / 128.0  # exact for uint8
+        i_ds, q_ds, iq_tail = self.rf_fir(x, state.iq_tail)
+        i_ds, q_ds = i_ds.astype(jnp.float32), q_ds.astype(jnp.float32)
         demod, prev_i, prev_q = fm_demod(i_ds, q_ds, state.prev_i,
                                          state.prev_q)
-        return demod, FrontendState(i_tail, q_tail, prev_i, prev_q)
+        return demod, FrontendState(iq_tail, prev_i, prev_q)

@@ -148,3 +148,98 @@ class PolyFIR:
         new_tail = (xx[..., xx.shape[-1] - self.tail_len:]
                     if self.tail_len else xx[..., :0])
         return y, new_tail
+
+
+class DualPhaseFIR:
+    """Decimating FIR applied directly to an INTERLEAVED I/Q stream.
+
+    The RF front end's deinterleave (src/rffrontend.cpp:58-63) is a strided
+    byte shuffle — pathologically slow on TPU layouts. Linearity lets us skip
+    it: filtering the even (I) and odd (Q) positions of the interleaved
+    stream s with stride-2 zero-stuffed taps is the same computation, and
+    both phases fold into ONE framed matmul whose weight matrix carries the
+    I-columns and Q-columns side by side:
+
+        I_ds[n] = sum_k h[k] * s[2(n*down - k)]
+        Q_ds[n] = sum_k h[k] * s[2(n*down - k) + 1]
+
+    Input: interleaved float32 (..., 2N) (already normalized); carried tail
+    of 2K-2 interleaved samples == the reference's two K-1 tails.
+    """
+
+    def __init__(self, h: np.ndarray, down: int, target_frame: int = 128,
+                 split_bf16: bool = True):
+        h = np.asarray(h, dtype=np.float64)
+        self.down = int(down)
+        self.num_taps = K = h.shape[0]
+        self._h = h
+        self._target = target_frame
+        # uint8-derived samples are EXACT in bfloat16, so the data side loses
+        # nothing; full f32 tap precision is preserved by splitting W into a
+        # hi+lo bf16 pair and accumulating two native MXU passes in f32 —
+        # halving frame-matrix bandwidth vs f32 HIGHEST (6-pass) emulation.
+        self.split_bf16 = split_bf16
+        self._plan_cache: dict[int, tuple] = {}
+
+    @property
+    def tail_len(self) -> int:
+        return 2 * self.num_taps - 2
+
+    def _plan(self, n2: int):
+        """n2: interleaved input length (= 2N)."""
+        if n2 in self._plan_cache:
+            return self._plan_cache[n2]
+        K, down = self.num_taps, self.down
+        n = n2 // 2
+        n_out = n // down
+        R = max(1, self._target)
+        k2 = 2 * K - 1            # span of the zero-stuffed taps
+        dprime = 2 * down         # interleaved stride per output
+        J = dprime * (R - 1) + k2 + 1  # +1 for the Q offset
+        W = np.zeros((J, 2 * R), dtype=np.float64)
+        for r in range(R):
+            for k in range(K):
+                j = r * dprime + (k2 - 1) - 2 * k
+                W[j, r] = h_val = self._h[k]
+                W[j + 1, R + r] = h_val
+        c_frames = -(-n_out // R)
+        stride = R * dprime
+        s_over = -(-J // stride)
+        pad_to = (c_frames + s_over) * stride
+        plan = (n_out, R, stride, J, W.astype(np.float32), c_frames, s_over,
+                pad_to)
+        self._plan_cache[n2] = plan
+        return plan
+
+    def __call__(self, s: jax.Array, tail: jax.Array):
+        """s: (..., 2N) interleaved float32; tail: (..., 2K-2).
+
+        Returns (i_ds, q_ds, new_tail), each stream (..., N//down)."""
+        n2 = s.shape[-1]
+        xx = jnp.concatenate([tail, s.astype(tail.dtype)], axis=-1)
+        xx = jax.lax.optimization_barrier(xx)
+        n_out, R, stride, J, W, c_frames, s_over, pad_to = self._plan(n2)
+        pad = pad_to - xx.shape[-1]
+        if pad > 0:
+            xp = jnp.pad(xx, [(0, 0)] * (xx.ndim - 1) + [(0, pad)])
+        else:
+            xp = xx
+        rows = xp.reshape(xp.shape[:-1] + (-1, stride))
+        parts = [rows[..., i:i + c_frames, :] for i in range(s_over)]
+        frames = jnp.concatenate(parts, axis=-1)[..., :J]
+        if self.split_bf16:
+            fb = frames.astype(jnp.bfloat16)
+            w_hi = W.astype(jnp.bfloat16)
+            w_lo = (W - w_hi.astype(np.float32)).astype(jnp.bfloat16)
+            y = (jnp.einsum("...cj,jr->...cr", fb, jnp.asarray(w_hi),
+                            preferred_element_type=jnp.float32)
+                 + jnp.einsum("...cj,jr->...cr", fb, jnp.asarray(w_lo),
+                              preferred_element_type=jnp.float32))
+        else:
+            y = jnp.einsum("...cj,jr->...cr", frames,
+                           jnp.asarray(W, dtype=frames.dtype),
+                           precision=jax.lax.Precision.HIGHEST)
+        i_ds = y[..., :R].reshape(y.shape[:-2] + (-1,))[..., :n_out]
+        q_ds = y[..., R:].reshape(y.shape[:-2] + (-1,))[..., :n_out]
+        new_tail = xx[..., xx.shape[-1] - self.tail_len:]
+        return i_ds, q_ds, new_tail

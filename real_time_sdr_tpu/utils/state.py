@@ -11,13 +11,18 @@ from __future__ import annotations
 
 import numpy as np
 import jax
-import jax.numpy as jnp
+import jax.numpy as jnp  # noqa: F401  (bf16 dtype check)
 
 
 def save_state(path: str, state) -> None:
     """Serialize a receiver state pytree to an .npz file."""
     leaves, treedef = jax.tree_util.tree_flatten(state)
-    arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    arrays = {}
+    for i, l in enumerate(leaves):
+        a = np.asarray(l)
+        if a.dtype == jnp.bfloat16:  # npz has no bf16; f32 is lossless
+            a = a.astype(np.float32)
+        arrays[f"leaf_{i}"] = a
     arrays["__treedef__"] = np.frombuffer(
         str(treedef).encode(), dtype=np.uint8)
     np.savez(path, **arrays)
