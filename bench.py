@@ -28,7 +28,8 @@ def main() -> None:
     ap.add_argument("--channels", type=int, default=64)
     ap.add_argument("--blocks", type=int, default=32)
     ap.add_argument("--mode", type=int, default=0)
-    ap.add_argument("--pll-tier", type=int, default=2)
+    ap.add_argument("--pll-tier", type=int, default=3,
+                    help="1 exact scan, 2 Newton, 3 feedforward (fastest)")
     ap.add_argument("--no-rds", action="store_true")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")

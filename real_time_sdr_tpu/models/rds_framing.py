@@ -22,7 +22,8 @@ from typing import Callable
 
 import numpy as np
 
-from real_time_sdr_tpu.ops.rds_bits import OFFSET_SYNDROMES, parity_matrix_np
+from real_time_sdr_tpu.ops.rds_bits import (OFFSET_SYNDROMES, _crc_remainder,
+                                            parity_matrix_np)
 
 _H = parity_matrix_np()  # (26, 10)
 _SYNDROME_VALUES = np.array(
@@ -142,3 +143,131 @@ class RdsFramer:
                 self._rt[seg * 4 + j] = chr(c) if 32 <= c < 127 else " "
             ev.radiotext = "".join(self._rt)
             self._on_event("radiotext", ev.radiotext)
+
+
+class SyncByOffsetDecoder:
+    """Alternative framer: GNU-Radio-style sync-by-offset state machine.
+
+    The reference ships this decoder dormant (``error_detection``,
+    src/rds_utilities.cpp:202-311, a port of model/OurRDS.py:405-509) beside
+    its active sliding-window framer. Semantics: hunt until two syndrome
+    hits land exactly 26*k bits apart (presync -> sync), then step in
+    26-bit blocks checking each block's CRC against the offset word
+    expected at its position (with the C' fallback at position 2), assemble
+    groups from runs of good blocks, and drop sync when more than
+    ``lose_threshold`` of ``window_blocks`` consecutive blocks are bad.
+
+    The reference's group-assembly register is reset every bit (a bug noted
+    in SURVEY.md); this implementation assembles correctly.
+    """
+
+    _POS = {"A": 0, "B": 1, "C": 2, "Cp": 2, "D": 3}
+    _BY_POS = ["A", "B", "C", "D"]
+
+    def __init__(self, on_event: Callable[[str, object], None] | None = None,
+                 lose_threshold: int = 40, window_blocks: int = 50):
+        self._on_event = on_event or (lambda kind, val: None)
+        self.lose_threshold = lose_threshold
+        self.window_blocks = window_blocks
+        self._reg = 0
+        self._bit_count = 0
+        self.synced = False
+        self._presync: tuple[int, int] | None = None  # (pos, bit_count)
+        self._block_bits = 0
+        self._block_pos = 0
+        self._blocks_seen = 0
+        self._wrong_blocks = 0
+        self._group = [None] * 4
+        self.events = RdsEvents()
+        self._ps_chars = 0
+        self._crc_cache: dict[int, int] = {}
+
+    def _syndrome(self, word26: int) -> int:
+        return _crc_remainder(word26, 26)
+
+    def _crc16(self, data: int) -> int:
+        if data not in self._crc_cache:
+            self._crc_cache[data] = _crc_remainder(data, 16)
+        return self._crc_cache[data]
+
+    def feed(self, bits) -> None:
+        syn_to_name = {v: k for k, v in OFFSET_SYNDROMES.items()}
+        offset_words = {"A": 0x0FC, "B": 0x198, "C": 0x168, "Cp": 0x350,
+                        "D": 0x1B4}
+        for b in np.asarray(bits, dtype=np.int64):
+            self._reg = ((self._reg << 1) | int(b)) & ((1 << 26) - 1)
+            self._bit_count += 1
+            if not self.synced:
+                s = self._syndrome(self._reg)
+                name = syn_to_name.get(s)
+                if name is None:
+                    continue
+                pos = self._POS[name]
+                if self._presync is None:
+                    self._presync = (pos, self._bit_count)
+                    continue
+                last_pos, last_count = self._presync
+                dist = (pos - last_pos) % 4
+                if dist == 0:
+                    dist = 4
+                if dist * 26 == self._bit_count - last_count:
+                    self.synced = True
+                    self._on_event("sync", self._bit_count)
+                    self._block_pos = (pos + 1) % 4
+                    self._block_bits = 0
+                    self._blocks_seen = 0
+                    self._wrong_blocks = 0
+                    self._group = [None] * 4
+                else:
+                    self._presync = (pos, self._bit_count)
+                continue
+            # synced: consume 26-bit blocks
+            self._block_bits += 1
+            if self._block_bits < 26:
+                continue
+            self._block_bits = 0
+            data = (self._reg >> 10) & 0xFFFF
+            checkword = self._reg & 0x3FF
+            expect = self._BY_POS[self._block_pos]
+            good = (checkword ^ offset_words[expect]) == self._crc16(data)
+            if not good and self._block_pos == 2:  # C' fallback
+                good = (checkword ^ offset_words["Cp"]) == self._crc16(data)
+            if good:
+                self._group[self._block_pos] = data
+                if self._block_pos == 3 and all(
+                        g is not None for g in self._group):
+                    self._parse_group()
+            else:
+                self._wrong_blocks += 1
+                self._group[self._block_pos] = None
+            if self._block_pos == 3:
+                self._group = [None] * 4
+            self._block_pos = (self._block_pos + 1) % 4
+            self._blocks_seen += 1
+            if self._blocks_seen >= self.window_blocks:
+                if self._wrong_blocks > self.lose_threshold:
+                    self.synced = False
+                    self._presync = None
+                    self._on_event("sync_lost", self._wrong_blocks)
+                self._blocks_seen = 0
+                self._wrong_blocks = 0
+
+    def _parse_group(self) -> None:
+        a, bw, c, d = self._group
+        g = (a << 48) | (bw << 32) | (c << 16) | d
+        ev = self.events
+        ev.pi = a
+        group_type = (bw >> 12) & 0xF
+        ev.pty = PTY_NAMES[(bw >> 5) & 0x1F]
+        ev.groups_decoded += 1
+        self._on_event("group", (ev.pi, group_type, ev.pty))
+        if group_type == 0:
+            placement = bw & 0x3
+            mask = ~(0xFFFF << (48 - 16 * placement)) & ((1 << 64) - 1)
+            self._ps_chars = (self._ps_chars & mask) | (
+                d << (16 * (3 - placement)))
+            if placement == 3:
+                name = "".join(chr((self._ps_chars >> (8 * (7 - i))) & 0xFF)
+                               for i in range(8))
+                ev.ps_name = name
+                self._on_event("ps", name)

@@ -166,3 +166,34 @@ def station_iq(cfg: ReceiverConfig, n_blocks: int, *,
     truth = dict(ps_name=ps_name, pi=pi, pty=pty, left=left, right=right,
                  bits=bits, radiotext=radiotext)
     return iq, truth
+
+
+# ---------------------------------------------------------------------------
+# Simple test-fixture generators (src/genfunc.cpp:13-41 twins)
+# ---------------------------------------------------------------------------
+
+def generate_sin(fs: float, freq: float, n: int, amplitude: float = 1.0,
+                 phase: float = 0.0) -> np.ndarray:
+    """Single tone (``generateSin`` twin)."""
+    t = np.arange(n) / fs
+    return amplitude * np.sin(2 * np.pi * freq * t + phase)
+
+
+def add_sin(fs: float, freqs, n: int, amplitudes=None,
+            phases=None) -> np.ndarray:
+    """Sum of tones (``addSin`` twin)."""
+    freqs = list(freqs)
+    amplitudes = list(amplitudes) if amplitudes else [1.0] * len(freqs)
+    phases = list(phases) if phases else [0.0] * len(freqs)
+    out = np.zeros(n)
+    for f, a, p in zip(freqs, amplitudes, phases):
+        out += generate_sin(fs, f, n, a, p)
+    return out
+
+
+def random_samples(n: int, max_value: float = 1.0, seed: int = 0,
+                   bits: int = 16) -> np.ndarray:
+    """Uniform random fixture (``generateRandomSamples`` twin)."""
+    rng = np.random.default_rng(seed)
+    levels = 1 << bits
+    return (rng.integers(0, levels, n) / levels * 2.0 - 1.0) * max_value
