@@ -43,3 +43,23 @@ def write_wav(path: str, audio, fs: int, stereo: bool = False) -> None:
         w.setsampwidth(2)
         w.setframerate(int(fs))
         w.writeframes(pcm.tobytes())
+
+
+def print_real_vector(x, max_items: int = 10) -> str:
+    """Console dump (printRealVector twin, src/iofunc.cpp:14-20)."""
+    x = np.asarray(x).ravel()
+    shown = ", ".join(f"{v:.6g}" for v in x[:max_items])
+    tail = "" if len(x) <= max_items else f", ... ({len(x)} total)"
+    s = f"[{shown}{tail}]"
+    print(s)
+    return s
+
+
+def print_complex_vector(x, max_items: int = 10) -> str:
+    """Console dump (printComplexVector twin, src/iofunc.cpp:22-28)."""
+    x = np.asarray(x).ravel()
+    shown = ", ".join(f"{v.real:.6g}{v.imag:+.6g}j" for v in x[:max_items])
+    tail = "" if len(x) <= max_items else f", ... ({len(x)} total)"
+    s = f"[{shown}{tail}]"
+    print(s)
+    return s

@@ -197,3 +197,23 @@ def random_samples(n: int, max_value: float = 1.0, seed: int = 0,
     rng = np.random.default_rng(seed)
     levels = 1 << bits
     return (rng.integers(0, levels, n) / levels * 2.0 - 1.0) * max_value
+
+
+def rate_change(iq_u8: np.ndarray, fs_in: int, fs_out: int) -> np.ndarray:
+    """Offline IQ resampler between canonical RF rates.
+
+    Twin of model/fmRateChange.py: rational resample (from the gcd) of the
+    I and Q streams separately, requantized to uint8 — generates
+    alternate-mode test inputs from a single capture. Canonical rates:
+    {2400, 2880, 2304, 1920, 1440, 1152, 960} kS/s.
+    """
+    g = math.gcd(fs_in, fs_out)
+    up, down = fs_out // g, fs_in // g
+    i = (iq_u8[0::2].astype(np.float64) - 128.0) / 128.0
+    q = (iq_u8[1::2].astype(np.float64) - 128.0) / 128.0
+    i2 = sp_signal.resample_poly(i, up, down)
+    q2 = sp_signal.resample_poly(q, up, down)
+    out = np.empty(2 * len(i2))
+    out[0::2] = i2
+    out[1::2] = q2
+    return np.clip(np.round(128.0 + 128.0 * out), 0, 255).astype(np.uint8)

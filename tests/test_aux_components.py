@@ -106,3 +106,29 @@ def test_sync_by_offset_tolerates_bit_errors():
     dec.feed(bits)
     assert dec.synced
     assert dec.events.ps_name == "ROBUST  "
+
+
+def test_rate_change_cross_mode_decode():
+    # a mode-0 capture resampled to mode-3's rate decodes correctly
+    # (fmRateChange.py workflow)
+    import jax.numpy as jnp
+    from real_time_sdr_tpu.config import mode_config
+    from real_time_sdr_tpu.models.receiver import Receiver
+    cfg0, cfg3 = mode_config(0), mode_config(3)
+    iq0, _ = synth.station_iq(cfg0, 8, tone_left=600.0, tone_right=600.0)
+    iq3 = synth.rate_change(iq0, cfg0.rf_fs, cfg3.rf_fs)
+    rx = Receiver(3, stereo=False, rds=False)
+    nb = len(iq3) // (2 * cfg3.block_size_iq)
+    _, out = rx.run_segment(rx.init_state(),
+                            jnp.asarray(iq3[:nb * 2 * cfg3.block_size_iq]))
+    a = np.asarray(out.mono)[cfg3.audio_block:]
+    sp = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+    f = np.fft.rfftfreq(len(a), 1 / float(cfg3.audio_fs))[sp.argmax()]
+    assert abs(f - 600.0) < 10
+
+
+def test_print_vectors(capsys):
+    rtio.print_real_vector(np.arange(20.0))
+    rtio.print_complex_vector(np.arange(3) + 1j)
+    out = capsys.readouterr().out
+    assert "(20 total)" in out and "+1j" in out
