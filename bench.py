@@ -25,13 +25,13 @@ import numpy as np
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--channels", type=int, default=64)
-    ap.add_argument("--blocks", type=int, default=32)
+    ap.add_argument("--channels", type=int, default=128)
+    ap.add_argument("--blocks", type=int, default=48)
     ap.add_argument("--mode", type=int, default=0)
     ap.add_argument("--pll-tier", type=int, default=3,
                     help="1 exact scan, 2 Newton, 3 feedforward (fastest)")
     ap.add_argument("--no-rds", action="store_true")
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--block-scan", action="store_true",
                     help="per-block lax.scan instead of segment mode")
