@@ -41,8 +41,8 @@ class Frontend:
         self.rf_fir = DualPhaseFIR(h_rf, down=cfg.rf_decim)
 
     def init_state(self, batch: tuple = ()) -> FrontendState:
-        # bfloat16 tail: (u8-128)/128 is exact in bf16, and half the traffic
-        z = jnp.zeros(batch + (self.rf_fir.tail_len,), jnp.bfloat16)
+        # raw uint8 tail; 128 is the "zero-signal" byte
+        z = jnp.full(batch + (self.rf_fir.tail_len,), 128, jnp.uint8)
         s = jnp.zeros(batch, jnp.float32)
         return FrontendState(z, s, s)
 
@@ -50,9 +50,7 @@ class Frontend:
         """iq_u8: (..., 2*block_size_iq) uint8 interleaved I,Q.
 
         Returns (fm_demod (..., if_block), new_state)."""
-        x = (iq_u8.astype(jnp.bfloat16) - 128.0) / 128.0  # exact for uint8
-        i_ds, q_ds, iq_tail = self.rf_fir(x, state.iq_tail)
-        i_ds, q_ds = i_ds.astype(jnp.float32), q_ds.astype(jnp.float32)
+        i_ds, q_ds, iq_tail = self.rf_fir(iq_u8, state.iq_tail)
         demod, prev_i, prev_q = fm_demod(i_ds, q_ds, state.prev_i,
                                          state.prev_q)
         return demod, FrontendState(iq_tail, prev_i, prev_q)

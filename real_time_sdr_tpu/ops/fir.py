@@ -163,8 +163,14 @@ class DualPhaseFIR:
         I_ds[n] = sum_k h[k] * s[2(n*down - k)]
         Q_ds[n] = sum_k h[k] * s[2(n*down - k) + 1]
 
-    Input: interleaved float32 (..., 2N) (already normalized); carried tail
-    of 2K-2 interleaved samples == the reference's two K-1 tails.
+    Input: the raw interleaved uint8 capture (..., 2N); carried tail of
+    2K-2 interleaved raw samples == the reference's two K-1 tails. The
+    (x-128)/128 normalization (src/rffrontend.cpp:60) never materializes:
+    frame construction happens in uint8 (1/4 the traffic), the framed
+    matrix is cast to bf16 (exact for 8-bit data), the /128 folds into the
+    weights and the -128 into a per-output constant:
+
+        (sum_k h[k] (x-128))/128 = frames_u8 @ (W/128) - sum_k h[k]
     """
 
     def __init__(self, h: np.ndarray, down: int, target_frame: int = 128,
@@ -211,34 +217,37 @@ class DualPhaseFIR:
         self._plan_cache[n2] = plan
         return plan
 
-    def __call__(self, s: jax.Array, tail: jax.Array):
-        """s: (..., 2N) interleaved float32; tail: (..., 2K-2).
+    def __call__(self, s_u8: jax.Array, tail_u8: jax.Array):
+        """s_u8: (..., 2N) raw interleaved uint8; tail_u8: (..., 2K-2) uint8.
 
-        Returns (i_ds, q_ds, new_tail), each stream (..., N//down)."""
-        n2 = s.shape[-1]
-        xx = jnp.concatenate([tail, s.astype(tail.dtype)], axis=-1)
+        Returns (i_ds, q_ds, new_tail), streams (..., N//down) float32."""
+        n2 = s_u8.shape[-1]
+        xx = jnp.concatenate([tail_u8, s_u8], axis=-1)
         xx = jax.lax.optimization_barrier(xx)
         n_out, R, stride, J, W, c_frames, s_over, pad_to = self._plan(n2)
         pad = pad_to - xx.shape[-1]
         if pad > 0:
-            xp = jnp.pad(xx, [(0, 0)] * (xx.ndim - 1) + [(0, pad)])
+            xp = jnp.pad(xx, [(0, 0)] * (xx.ndim - 1) + [(0, pad)],
+                         constant_values=128)  # pad with "zero" signal
         else:
             xp = xx
         rows = xp.reshape(xp.shape[:-1] + (-1, stride))
         parts = [rows[..., i:i + c_frames, :] for i in range(s_over)]
         frames = jnp.concatenate(parts, axis=-1)[..., :J]
+        w_scaled = W / 128.0
+        offset = np.float32(self._h.sum())
         if self.split_bf16:
-            fb = frames.astype(jnp.bfloat16)
-            w_hi = W.astype(jnp.bfloat16)
-            w_lo = (W - w_hi.astype(np.float32)).astype(jnp.bfloat16)
+            fb = frames.astype(jnp.bfloat16)  # exact: 8-bit integers
+            w_hi = w_scaled.astype(jnp.bfloat16)
+            w_lo = (w_scaled - w_hi.astype(np.float32)).astype(jnp.bfloat16)
             y = (jnp.einsum("...cj,jr->...cr", fb, jnp.asarray(w_hi),
                             preferred_element_type=jnp.float32)
                  + jnp.einsum("...cj,jr->...cr", fb, jnp.asarray(w_lo),
-                              preferred_element_type=jnp.float32))
+                              preferred_element_type=jnp.float32)) - offset
         else:
-            y = jnp.einsum("...cj,jr->...cr", frames,
-                           jnp.asarray(W, dtype=frames.dtype),
-                           precision=jax.lax.Precision.HIGHEST)
+            y = jnp.einsum("...cj,jr->...cr", frames.astype(jnp.float32),
+                           jnp.asarray(w_scaled, dtype=jnp.float32),
+                           precision=jax.lax.Precision.HIGHEST) - offset
         i_ds = y[..., :R].reshape(y.shape[:-2] + (-1,))[..., :n_out]
         q_ds = y[..., R:].reshape(y.shape[:-2] + (-1,))[..., :n_out]
         new_tail = xx[..., xx.shape[-1] - self.tail_len:]

@@ -217,3 +217,32 @@ def rate_change(iq_u8: np.ndarray, fs_in: int, fs_out: int) -> np.ndarray:
     out[0::2] = i2
     out[1::2] = q2
     return np.clip(np.round(128.0 + 128.0 * out), 0, 255).astype(np.uint8)
+
+
+def wideband_iq(cfg: ReceiverConfig, wide_fs: int, stations: list[dict],
+                n_blocks: int) -> tuple[np.ndarray, np.ndarray, list[dict]]:
+    """Multi-station wideband capture for the channelizer.
+
+    Each stations[k] dict may carry offset_hz (required), ps_name, pi, pty,
+    tone_left, tone_right. Returns (i_wide, q_wide float32 at wide_fs,
+    truths). Stations are synthesized at cfg.rf_fs, upsampled to wide_fs,
+    and frequency-shifted to their offsets.
+    """
+    assert wide_fs % cfg.rf_fs == 0
+    up = wide_fs // cfg.rf_fs
+    n_wide = cfg.block_size_iq * n_blocks * up
+    acc = np.zeros(n_wide, dtype=np.complex128)
+    truths = []
+    for st in stations:
+        kw = {k: v for k, v in st.items() if k != "offset_hz"}
+        iq_u8, truth = station_iq(cfg, n_blocks, **kw)
+        truth["offset_hz"] = st["offset_hz"]
+        truths.append(truth)
+        z = ((iq_u8[0::2].astype(np.float64) - 128.0)
+             + 1j * (iq_u8[1::2].astype(np.float64) - 128.0)) / 128.0
+        zw = sp_signal.resample_poly(z, up, 1)[:n_wide]
+        t = np.arange(len(zw)) / wide_fs
+        acc[:len(zw)] += zw * np.exp(2j * np.pi * st["offset_hz"] * t)
+    acc /= max(1, len(stations))
+    return (acc.real.astype(np.float32), acc.imag.astype(np.float32),
+            truths)
