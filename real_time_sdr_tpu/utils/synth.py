@@ -113,7 +113,8 @@ def fm_iq(rf_fs: int, n_samples: int, *,
           mono_amp: float = 0.45, pilot_amp: float = 0.10,
           stereo_amp: float = 0.45, rds_amp: float = 0.06,
           deviation: float = 75_000.0, phase0: float = 0.0,
-          rds_sps: int = 39) -> np.ndarray:
+          rds_sps: int = 39, noise_std: float = 0.0,
+          noise_seed: int = 0) -> np.ndarray:
     """Synthesize uint8 interleaved IQ for one FM station.
 
     mono / stereo_diff: per-sample (L+R)/2 and (L-R)/2 waveforms at rf_fs
@@ -134,6 +135,10 @@ def fm_iq(rf_fs: int, n_samples: int, *,
     phase = phase0 + 2 * np.pi * deviation * np.cumsum(m) / rf_fs
     i = np.cos(phase)
     q = np.sin(phase)
+    if noise_std > 0:
+        rng = np.random.default_rng(noise_seed)
+        i = i + noise_std * rng.standard_normal(n_samples)
+        q = q + noise_std * rng.standard_normal(n_samples)
     iq = np.empty(2 * n_samples)
     iq[0::2] = i
     iq[1::2] = q

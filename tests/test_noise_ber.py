@@ -1,0 +1,56 @@
+"""RDS BER and decode robustness under channel noise.
+
+The BASELINE contract names "audio SNR + RDS BER parity" as the metric
+family; this measures raw post-differential BER against the transmitted
+bit stream and requires protocol decode to survive realistic noise.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from real_time_sdr_tpu.models.receiver import Receiver
+from real_time_sdr_tpu.models.rds_framing import RdsFramer
+from real_time_sdr_tpu.utils import synth
+
+
+def measure_ber(out, truth, n_blocks):
+    bits_all = []
+    nb = np.asarray(out.rds_nbits)
+    bits = np.asarray(out.rds_bits)
+    for b in range(n_blocks):
+        if nb[b] > 0:
+            bits_all.extend(bits[b][:nb[b]].tolist())
+    got = "".join(map(str, bits_all))
+    ref = "".join(map(str, truth["bits"] * 40))
+    best = None
+    for off in range(len(truth["bits"]) * 2):
+        seg = ref[off:off + len(got)]
+        errs = sum(a != b for a, b in zip(got, seg))
+        if best is None or errs < best:
+            best = errs
+    return best / max(1, len(got)), len(got)
+
+
+def test_rds_ber_clean_and_noisy():
+    rx = Receiver(0, stereo=True, rds=True, pll_tier=1)
+    nb = 30
+
+    iq, truth = synth.station_iq(rx.cfg, nb, ps_name="BERTEST ", pi=0x4242,
+                                 pty=2)
+    _, out = rx.run_segment(rx.init_state(), jnp.asarray(iq))
+    ber, n = measure_ber(out, truth, nb)
+    assert n > 700
+    assert ber < 5e-3, f"clean BER {ber}"  # only settle-time errors
+
+    # moderate AWGN (sigma=0.05 on unit-amplitude IQ ~ 26 dB CNR)
+    iq2, truth2 = synth.station_iq(rx.cfg, nb, ps_name="BERTEST ", pi=0x4242,
+                                   pty=2, noise_std=0.05)
+    _, out2 = rx.run_segment(rx.init_state(), jnp.asarray(iq2))
+    ber2, _ = measure_ber(out2, truth2, nb)
+    assert ber2 < 2e-2, f"noisy BER {ber2}"
+    framer = RdsFramer()
+    bits, nbs = np.asarray(out2.rds_bits), np.asarray(out2.rds_nbits)
+    for b in range(nb):
+        if nbs[b] > 0:
+            framer.feed(bits[b][:nbs[b]])
+    assert framer.events.ps_name == "BERTEST "  # protocol survives noise
