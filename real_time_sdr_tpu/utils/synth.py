@@ -114,14 +114,15 @@ def fm_iq(rf_fs: int, n_samples: int, *,
           stereo_amp: float = 0.45, rds_amp: float = 0.06,
           deviation: float = 75_000.0, phase0: float = 0.0,
           rds_sps: int = 39, noise_std: float = 0.0,
-          noise_seed: int = 0) -> np.ndarray:
+          noise_seed: int = 0,
+          pilot_freq: float = PILOT_FREQ) -> np.ndarray:
     """Synthesize uint8 interleaved IQ for one FM station.
 
     mono / stereo_diff: per-sample (L+R)/2 and (L-R)/2 waveforms at rf_fs
     (unit amplitude). Returns (2*n_samples,) uint8.
     """
     t = np.arange(n_samples) / rf_fs
-    theta_p = 2 * np.pi * PILOT_FREQ * t
+    theta_p = 2 * np.pi * pilot_freq * t  # off-nominal models tuner ppm error
     m = np.zeros(n_samples)
     if mono is not None:
         m += mono_amp * mono[:n_samples]
