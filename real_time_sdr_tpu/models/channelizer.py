@@ -19,7 +19,6 @@ renormalized.
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple
 
 import jax

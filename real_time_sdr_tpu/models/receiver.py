@@ -16,7 +16,6 @@ from __future__ import annotations
 from typing import Any, NamedTuple
 
 import jax
-import jax.numpy as jnp
 
 from real_time_sdr_tpu.config import ReceiverConfig, mode_config
 from real_time_sdr_tpu.models.audio import MonoPath, StereoPath

@@ -34,7 +34,6 @@ src/filter.cpp:73-78) is detected and lowered to a scaled slice.
 
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ DFT/FFT_* ladder is pedagogical; XLA's FFT is the production kernel).
 
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,7 @@ nominal ramp, first-order for the residual.
 from __future__ import annotations
 
 import math
-from functools import partial
+
 from typing import NamedTuple
 
 import jax
