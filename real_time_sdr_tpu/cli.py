@@ -49,7 +49,82 @@ def make_parser() -> argparse.ArgumentParser:
     ap.add_argument("--drop-oldest", action="store_true",
                     help="real-time mode: drop stale input blocks instead of "
                          "backpressuring the source")
+    ap.add_argument("--stations", default=None,
+                    help="comma-separated station offsets in Hz: treat the "
+                         "input as ONE wideband capture and channelize all "
+                         "stations (requires --wide-fs, --output-dir)")
+    ap.add_argument("--wide-fs", type=int, default=None,
+                    help="wideband capture sample rate (integer multiple of "
+                         "the mode's RF rate)")
+    ap.add_argument("--output-dir", default=None,
+                    help="per-station PCM output directory (wideband mode)")
     return ap
+
+
+def run_wideband(args, rx, cfg) -> int:
+    """Multi-station mode: channelize a wideband capture and decode every
+    station in parallel through a channel bank."""
+    import jax.numpy as jnp
+
+    from real_time_sdr_tpu.models.channelizer import Channelizer
+    from real_time_sdr_tpu.models.rds_framing import RdsFramer
+    from real_time_sdr_tpu.parallel.channel import ChannelBank
+    from real_time_sdr_tpu.utils.audio import mono_pcm, stereo_pcm
+
+    try:
+        offsets = [int(x) for x in args.stations.split(",")]
+    except ValueError:
+        print(f"error: --stations must be comma-separated integer Hz "
+              f"offsets, got {args.stations!r}", file=sys.stderr)
+        return 2
+    wide_fs = args.wide_fs or 4 * cfg.rf_fs
+    if wide_fs % cfg.rf_fs != 0:
+        print(f"error: --wide-fs {wide_fs} must be an integer multiple of "
+              f"the mode RF rate {cfg.rf_fs}", file=sys.stderr)
+        return 2
+    ch = Channelizer(cfg, wide_fs, offsets)
+    bank = ChannelBank(rx, n_channels=len(offsets))
+    fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
+    outdir = args.output_dir or "."
+    os.makedirs(outdir, exist_ok=True)
+    outs = [open(os.path.join(outdir, f"station_{k}.pcm"), "wb")
+            for k in range(len(offsets))]
+    framers = [RdsFramer(on_event=lambda kind, val, k=k: print(
+        f"ch{k} {kind}: {val}", file=sys.stderr))
+        for k in range(len(offsets))] if rx.rds else None
+
+    block_pairs = cfg.block_size_iq * ch.decim
+    cstate = ch.init_state()
+    bstate = bank.init_state()
+    n_blocks = 0
+    while True:
+        buf = fin.read(2 * block_pairs)
+        if buf is None or len(buf) < 2 * block_pairs:
+            break
+        x = (np.frombuffer(buf, dtype=np.uint8).astype(np.float32)
+             - 128.0) / 128.0
+        (i_ds, q_ds), cstate = ch(jnp.asarray(x[0::2]), jnp.asarray(x[1::2]),
+                                  cstate)
+        u8 = ch.to_uint8(i_ds, q_ds)
+        bstate, out = bank.step(bstate, u8)
+        for k in range(len(offsets)):
+            if rx.stereo:
+                pcm = stereo_pcm(out.left[k], out.right[k])
+            else:
+                pcm = mono_pcm(out.mono[k])
+            np.asarray(pcm).astype("<i2").tofile(outs[k])
+            if framers is not None:
+                nb = int(out.rds_nbits[k])
+                if nb > 0:
+                    framers[k].feed(np.asarray(out.rds_bits[k])[:nb])
+        n_blocks += 1
+        if args.max_blocks and n_blocks >= args.max_blocks:
+            break
+    for f in outs:
+        f.close()
+    print(f"channelized {len(offsets)} stations x {n_blocks} blocks",
+          file=sys.stderr)
+    return 0
 
 
 def main(argv=None) -> int:
@@ -70,6 +145,9 @@ def main(argv=None) -> int:
     rds = args.type == "r"
     rx = Receiver(args.mode, stereo=stereo, rds=rds, pll_tier=args.pll_tier)
     cfg = rx.cfg
+
+    if args.stations:
+        return run_wideband(args, rx, cfg)
     block_bytes = 2 * cfg.block_size_iq
     budget = cfg.block_size_iq / cfg.rf_fs  # real-time seconds per block
 

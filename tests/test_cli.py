@@ -71,3 +71,31 @@ def test_cli_bad_args(station_file):
     path, _, _ = station_file
     r = run_cli(["7", "m"], path)
     assert r.returncode != 0
+
+
+def test_cli_wideband_multistation(tmp_path):
+    from real_time_sdr_tpu.utils import synth as _synth
+
+    cfg = mode_config(0)
+    iw, qw, truths = _synth.wideband_iq(
+        cfg, 4 * cfg.rf_fs,
+        [dict(offset_hz=-2_000_000, ps_name="WIDE-A  ", pi=0xA0A0, pty=5),
+         dict(offset_hz=1_500_000, ps_name="WIDE-B  ", pi=0xB0B0, pty=9)],
+        26)
+    iq = np.empty(2 * len(iw))
+    iq[0::2] = iw
+    iq[1::2] = qw
+    u8 = np.clip(np.round(128 + 127 * iq), 0, 255).astype(np.uint8)
+    wb = tmp_path / "wideband.raw"
+    u8.tofile(wb)
+
+    outdir = tmp_path / "stations"
+    r = run_cli(["0", "r", "--stations=-2000000,1500000",
+                 "--wide-fs", "9600000", "--output-dir", str(outdir)], wb)
+    assert r.returncode == 0
+    err = r.stderr.decode()
+    assert "ch0 ps: WIDE-A" in err
+    assert "ch1 ps: WIDE-B" in err
+    for k in range(2):
+        pcm = np.fromfile(outdir / f"station_{k}.pcm", "<i2")
+        assert len(pcm) == 26 * cfg.audio_block * 2
