@@ -174,7 +174,10 @@ struct Writer {
     std::thread(writer_loop, ring, fd).detach();
   }
 
-  void push(const uint8_t* data, size_t n) {
+  // Returns 0 on success, -1 if n exceeds the slot capacity (rejected —
+  // a silent memcpy past block_bytes would corrupt the heap).
+  int push(const uint8_t* data, size_t n) {
+    if (n > block_bytes) return -1;
     std::unique_lock<std::mutex> lk(ring->mu);
     ring->not_full.wait(lk, [&] { return ring->count < ring->slots.size(); });
     size_t tail = (ring->head + ring->count) % ring->slots.size();
@@ -182,6 +185,7 @@ struct Writer {
     ring->sizes[tail] = n;
     ring->count++;
     ring->not_empty.notify_one();
+    return 0;
   }
 
   void drain() {
@@ -224,8 +228,9 @@ void* rtsdr_writer_open(int fd, size_t max_block_bytes, size_t depth) {
   return new Writer(fd, max_block_bytes, depth);
 }
 
-void rtsdr_writer_push(void* handle, const uint8_t* data, size_t n) {
-  static_cast<Writer*>(handle)->push(data, n);
+// Returns 0 on success, -1 if the block exceeds the writer's capacity.
+int rtsdr_writer_push(void* handle, const uint8_t* data, size_t n) {
+  return static_cast<Writer*>(handle)->push(data, n);
 }
 
 void rtsdr_writer_close(void* handle) {

@@ -36,8 +36,10 @@ def make_parser() -> argparse.ArgumentParser:
                     help="m=mono, s=stereo, r=stereo+RDS")
     ap.add_argument("--input", default="-", help="raw uint8 IQ file, -=stdin")
     ap.add_argument("--output", default="-", help="PCM out, - = stdout")
-    ap.add_argument("--pll-tier", type=int, default=1, choices=(1, 2),
-                    help="1=exact sequential PLL, 2=block-parallel Newton")
+    ap.add_argument("--pll-tier", type=int, default=1, choices=(1, 2, 3),
+                    help="1=exact sequential PLL, 2=block-parallel Newton, "
+                         "3=feedforward sync (fastest; approximates the "
+                         "locked loop, not the acquisition transient)")
     ap.add_argument("--checkpoint", default=None,
                     help="state .npz to resume from / save on EOF")
     ap.add_argument("--max-blocks", type=int, default=None)
@@ -70,7 +72,12 @@ def run_wideband(args, rx, cfg) -> int:
     from real_time_sdr_tpu.models.rds_framing import RdsFramer
     from real_time_sdr_tpu.parallel.channel import ChannelBank
     from real_time_sdr_tpu.utils.audio import mono_pcm, stereo_pcm
+    from real_time_sdr_tpu.utils import state as state_util
 
+    if args.io_depth != 4 or args.drop_oldest:
+        print("warning: --io-depth/--drop-oldest apply to the single-station "
+              "native I/O path and are ignored in --stations mode",
+              file=sys.stderr)
     try:
         offsets = [int(x) for x in args.stations.split(",")]
     except ValueError:
@@ -94,10 +101,20 @@ def run_wideband(args, rx, cfg) -> int:
         for k in range(len(offsets))] if rx.rds else None
 
     block_pairs = cfg.block_size_iq * ch.decim
+    budget = cfg.block_size_iq / cfg.rf_fs
     cstate = ch.init_state()
     bstate = bank.init_state()
+    if args.checkpoint:
+        try:
+            cstate, bstate = state_util.load_state(args.checkpoint,
+                                                   (cstate, bstate))
+            print(f"resumed state from {args.checkpoint}", file=sys.stderr)
+        except FileNotFoundError:
+            pass
     n_blocks = 0
+    t_total = 0.0
     while True:
+        t0 = time.perf_counter()
         buf = fin.read(2 * block_pairs)
         if buf is None or len(buf) < 2 * block_pairs:
             break
@@ -118,10 +135,22 @@ def run_wideband(args, rx, cfg) -> int:
                 if nb > 0:
                     framers[k].feed(np.asarray(out.rds_bits[k])[:nb])
         n_blocks += 1
+        dt = time.perf_counter() - t0
+        t_total += dt
+        if args.stats:
+            print(f"block {n_blocks}: {dt*1e3:.2f} ms "
+                  f"({budget/dt:.1f}x real time)", file=sys.stderr)
         if args.max_blocks and n_blocks >= args.max_blocks:
             break
     for f in outs:
         f.close()
+    if args.checkpoint:
+        state_util.save_state(args.checkpoint, (cstate, bstate))
+        print(f"saved state to {args.checkpoint}", file=sys.stderr)
+    if args.stats and n_blocks:
+        print(f"total: {n_blocks} blocks, avg {t_total/n_blocks*1e3:.2f} ms"
+              f"/block, {budget*n_blocks/t_total:.1f}x real time",
+              file=sys.stderr)
     print(f"channelized {len(offsets)} stations x {n_blocks} blocks",
           file=sys.stderr)
     return 0

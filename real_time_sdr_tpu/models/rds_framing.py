@@ -180,6 +180,7 @@ class SyncByOffsetDecoder:
         self._group = [None] * 4
         self.events = RdsEvents()
         self._ps_chars = 0
+        self._rt = [" "] * 64
         self._crc_cache: dict[int, int] = {}
 
     def _syndrome(self, word26: int) -> int:
@@ -271,3 +272,13 @@ class SyncByOffsetDecoder:
                                for i in range(8))
                 ev.ps_name = name
                 self._on_event("ps", name)
+        elif group_type == 2:
+            # RadioText (model/OurRDSOurDSP.py:486-528), same parse as
+            # RdsFramer so both framers expose equal capability
+            seg = bw & 0xF
+            chars = (c << 16) | d
+            for j in range(4):
+                ch = (chars >> (8 * (3 - j))) & 0xFF
+                self._rt[seg * 4 + j] = chr(ch) if 32 <= ch < 127 else " "
+            ev.radiotext = "".join(self._rt)
+            self._on_event("radiotext", ev.radiotext)

@@ -112,6 +112,20 @@ class PolyFIR:
         self._plan_cache[n] = plan
         return plan
 
+    def cost(self, n: int) -> dict:
+        """Static per-block work accounting for speed-of-light analysis.
+
+        Returns matmul dims, FLOPs, and minimum HBM bytes for an (n,)-sample
+        input block (single channel)."""
+        if self._single_tap:
+            return {"kind": "delay", "flops": 0, "bytes": 8 * n,
+                    "dims": (0, 0, 0)}
+        n_out, R, stride, J, W, c_frames, s_over, pad_to = self._plan(n)
+        flops = 2 * c_frames * J * R
+        byts = 4 * (c_frames * J + J * R + n_out)  # frames + weights + out
+        return {"kind": "fir_f32", "flops": flops, "bytes": byts,
+                "dims": (c_frames, J, R)}
+
     def __call__(self, x: jax.Array, tail: jax.Array):
         """Apply to one block. x: (..., N); tail: (..., T-1).
 
@@ -215,6 +229,19 @@ class DualPhaseFIR:
                 pad_to)
         self._plan_cache[n2] = plan
         return plan
+
+    def cost(self, n2: int) -> dict:
+        """Per-block work accounting (see PolyFIR.cost); n2 = 2N interleaved.
+
+        Two bf16 MXU passes (hi+lo split taps) over a uint8-sourced frame
+        matrix."""
+        n_out, R, stride, J, W, c_frames, s_over, pad_to = self._plan(n2)
+        flops = 2 * 2 * c_frames * J * (2 * R)  # hi+lo passes
+        byts = (1 * c_frames * J          # uint8 frames (pre-cast traffic)
+                + 2 * 2 * J * 2 * R       # bf16 hi+lo weights
+                + 4 * 2 * n_out)          # f32 I and Q outputs
+        return {"kind": "fir_u8_bf16x2", "flops": flops, "bytes": byts,
+                "dims": (c_frames, J, 2 * R)}
 
     def __call__(self, s_u8: jax.Array, tail_u8: jax.Array):
         """s_u8: (..., 2N) raw interleaved uint8; tail_u8: (..., 2K-2) uint8.

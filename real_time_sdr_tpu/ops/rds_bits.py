@@ -23,7 +23,7 @@ import numpy as np
 
 __all__ = [
     "BitSyncState", "bit_sync_init", "cdr_offset", "decode_block_bits",
-    "parity_matrix_np", "window_syndromes", "OFFSET_SYNDROMES",
+    "parity_matrix_np", "OFFSET_SYNDROMES",
 ]
 
 _RDS_POLY = 0x5B9
@@ -158,18 +158,11 @@ def decode_block_bits(rds_clean: jax.Array, state: BitSyncState, sps: int,
     return decoded, n_bits, new_state
 
 
-def window_syndromes(bits: jax.Array) -> jax.Array:
-    """Syndromes of every sliding 26-bit window, as one mod-2 matmul.
-
-    bits: (n,) int32 0/1 -> (n-25, 10) int32 syndrome bit-planes.
-    Replaces the sequential 26-bit register walk (src/rds_utilities.cpp:352-381)
-    with windows(n-25, 26) @ H(26, 10) mod 2 — MXU-shaped work.
-    """
-    n = bits.shape[-1]
-    nwin = n - 25
-    h = jnp.asarray(parity_matrix_np(), jnp.float32)
-    idx = jnp.arange(nwin)[:, None] + jnp.arange(26)[None, :]
-    windows = jnp.take(bits, idx).astype(jnp.float32)
-    prod = jnp.dot(windows, h, precision=jax.lax.Precision.HIGHEST,
-                   preferred_element_type=jnp.float32)
-    return jnp.mod(prod, 2.0).astype(jnp.int32)
+# NOTE: the sliding-window mod-2 syndrome matmul (the replacement for the
+# reference's bit-serial 26-bit register walk, src/rds_utilities.cpp:384-400)
+# lives in models.rds_framing.RdsFramer.syndromes, on the HOST: per-channel
+# bit streams are variable-length (n_bits varies block to block), so they are
+# concatenated host-side anyway, and at 1187.5 bps/channel the matmul is
+# sub-microsecond — shipping it back to the device would cost more in tunnel
+# round trips than it computes. A device twin existed in round 1 but was dead
+# code and was removed.

@@ -58,6 +58,79 @@ class BlockTimer:
                 f"real time")
 
 
+# Per-chip peaks for speed-of-light accounting. TPU v5e (one chip):
+# 197 TFLOP/s bf16 MXU, ~819 GB/s HBM. f32 einsum at HIGHEST precision runs
+# as a 6-pass bf16 emulation -> ~1/6 of bf16 peak.
+V5E_BF16_FLOPS = 197e12
+V5E_F32_FLOPS = V5E_BF16_FLOPS / 6.0
+V5E_HBM_BPS = 819e9
+
+
+def stage_costs(rx) -> list[tuple[str, dict]]:
+    """Walk a Receiver's FIR stages and collect per-block cost dicts.
+
+    Single channel, one block; segment mode and channel banks scale these
+    linearly (same per-sample work)."""
+    cfg = rx.cfg
+    out = [("frontend.rf(u8)", rx.frontend.rf_fir.cost(2 * cfg.block_size_iq))]
+    n_if = cfg.if_block
+
+    def add(prefix, obj, names, n):
+        for name in names:
+            f = getattr(obj, name, None)
+            if f is not None:
+                out.append((f"{prefix}.{name}", f.cost(n)))
+
+    add("audio", rx.audio, ("audio_fir",), n_if)          # mono path
+    add("audio", rx.audio, ("pilot_fir", "band_fir", "delay_fir",
+                            "mono_fir", "stereo_fir"), n_if)
+    sync = getattr(rx.audio, "_sync", None)
+    if sync is not None:
+        add("audio.sync", sync, ("i_fir", "q_fir", "sm_fir_i", "sm_fir_q"),
+            n_if)
+    if rx.rds_path is not None:
+        r = rx.rds_path
+        add("rds", r, ("band_fir", "pilot_fir", "delay_fir"), n_if)
+        out.append(("rds.baseband_fir", r.baseband_fir.cost(n_if)))
+        out.append(("rds.rrc_fir", r.rrc_fir.cost(cfg.rds_block)))
+        if r._sync is not None:
+            add("rds.sync", r._sync, ("i_fir", "q_fir", "sm_fir_i",
+                                      "sm_fir_q"), n_if)
+    return out
+
+
+def speed_of_light_report(rx, file=None) -> dict:
+    """Print per-stage FLOPs / bytes / speed-of-light floor for one block.
+
+    The SoL floor per stage is max(flops/peak_flops, bytes/peak_bw); the
+    block's real-time budget is block_size_iq / rf_fs seconds, so
+    budget/floor is the per-stage per-channel ceiling on x-realtime."""
+    import sys as _sys
+    file = file or _sys.stderr
+    cfg = rx.cfg
+    budget = cfg.block_size_iq / cfg.rf_fs
+    rows = stage_costs(rx)
+    tot_f = tot_b = tot_t = 0.0
+    print(f"# speed-of-light, one channel, one block "
+          f"({budget*1e3:.2f} ms of signal):", file=file)
+    for name, c in rows:
+        peak = V5E_BF16_FLOPS if "bf16" in c["kind"] else V5E_F32_FLOPS
+        t_f = c["flops"] / peak
+        t_b = c["bytes"] / V5E_HBM_BPS
+        t = max(t_f, t_b)
+        bound = "compute" if t_f >= t_b else "memory"
+        tot_f += c["flops"]; tot_b += c["bytes"]; tot_t += t
+        cf, j, r = c["dims"]
+        print(f"#  {name:22s} {c['flops']/1e6:9.2f} MFLOP "
+              f"{c['bytes']/1e3:9.1f} kB  ({cf}x{j}x{r})  "
+              f"floor {t*1e6:8.2f} us  [{bound}-bound]", file=file)
+    print(f"#  {'TOTAL':22s} {tot_f/1e6:9.2f} MFLOP {tot_b/1e3:9.1f} kB"
+          f"{'':20s}floor {tot_t*1e6:8.2f} us -> SoL ceiling "
+          f"{budget/tot_t:,.0f}x realtime per channel", file=file)
+    return {"flops": tot_f, "bytes": tot_b, "floor_s": tot_t,
+            "ceiling_x": budget / tot_t}
+
+
 @contextlib.contextmanager
 def device_trace(log_dir: str = "/tmp/rtsdr_trace"):
     """jax profiler trace around a region (view with xprof/tensorboard)."""

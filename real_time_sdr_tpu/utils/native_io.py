@@ -54,6 +54,7 @@ def _load():
     lib.rtsdr_writer_open.restype = ctypes.c_void_p
     lib.rtsdr_writer_open.argtypes = [ctypes.c_int, ctypes.c_size_t,
                                       ctypes.c_size_t]
+    lib.rtsdr_writer_push.restype = ctypes.c_int
     lib.rtsdr_writer_push.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                       ctypes.c_size_t]
     lib.rtsdr_writer_close.argtypes = [ctypes.c_void_p]
@@ -116,6 +117,7 @@ class BlockWriter:
 
     def __init__(self, fileobj, max_block_bytes: int, depth: int = 8):
         self._fileobj = fileobj
+        self.max_block_bytes = max_block_bytes
         lib = _load()
         self._native = None
         if lib is not None:
@@ -130,12 +132,22 @@ class BlockWriter:
 
     def write(self, arr) -> None:
         data = np.ascontiguousarray(arr).view(np.uint8).ravel()
+        assert data.nbytes <= self.max_block_bytes, (
+            f"block of {data.nbytes} B exceeds writer capacity "
+            f"{self.max_block_bytes} B")
         if self._native is not None:
-            self._lib.rtsdr_writer_push(
+            rc = self._lib.rtsdr_writer_push(
                 self._native, data.ctypes.data_as(ctypes.c_void_p),
                 data.nbytes)
+            if rc != 0:
+                raise ValueError(
+                    f"native writer rejected oversized block ({data.nbytes} "
+                    f"B > {self.max_block_bytes} B)")
         else:
             self._fileobj.write(data.tobytes())
+            # stream immediately: the advertised `| aplay` workflow must not
+            # sit on stdio buffering when the native path is unavailable
+            self._fileobj.flush()
 
     def close(self):
         if self._native is not None:

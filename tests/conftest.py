@@ -12,9 +12,21 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
+import pytest  # noqa: E402
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_collection_modifyitems(items):
+    """Everything not marked slow is the smoke set: `-m smoke` keeps the
+    inner loop to a few minutes; `pytest tests/ -q` still runs it all."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.smoke)
+
+
 try:
     jax.config.update("jax_num_cpu_devices", 8)
 except Exception:  # older jax: fall back to the XLA flag

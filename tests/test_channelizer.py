@@ -3,6 +3,7 @@ single capture (the north-star multi-station configuration)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from real_time_sdr_tpu.models.channelizer import Channelizer
 from real_time_sdr_tpu.models.receiver import Receiver
@@ -11,6 +12,7 @@ from real_time_sdr_tpu.parallel.channel import ChannelBank
 from real_time_sdr_tpu.utils import synth
 
 
+@pytest.mark.slow
 def test_channelize_and_decode_two_stations():
     rx = Receiver(0, stereo=True, rds=True, pll_tier=1)
     cfg = rx.cfg

@@ -13,6 +13,9 @@ from real_time_sdr_tpu.utils import synth
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# subprocess e2e: each process pays backend init + (cached) compiles
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def station_file(tmp_path_factory):

@@ -120,6 +120,7 @@ def test_mono_only_station_keeps_stereo_silent():
     assert diff_power < tone_power * 0.02
 
 
+@pytest.mark.slow
 def test_radiotext_decoded():
     # one full cycle of 4 PS + 7 RadioText groups is ~1144 bits ~= 0.96 s;
     # 90 blocks (~2.75 s) covers warm-up plus two complete cycles
