@@ -35,6 +35,7 @@ class ReceiverOutput(NamedTuple):
     right: Any
     rds_bits: Any   # (..., max_bits) int32 or None
     rds_nbits: Any  # (...,) int32 or None
+    rds_clean: Any = None  # (..., rds_block) float32 RRC output (RDS mode)
 
 
 class Receiver:
@@ -78,11 +79,12 @@ class Receiver:
             mono, a_state = self.audio(demod, state.audio)
             left = right = None
         if self.rds_path is not None:
-            (bits, n_bits, _clean), r_state = self.rds_path(demod, state.rds)
+            (bits, n_bits, clean), r_state = self.rds_path(demod, state.rds)
         else:
-            bits = n_bits = r_state = None
+            bits = n_bits = clean = r_state = None
         out = ReceiverOutput(mono=mono, left=left, right=right,
-                             rds_bits=bits, rds_nbits=n_bits)
+                             rds_bits=bits, rds_nbits=n_bits,
+                             rds_clean=clean)
         return ReceiverState(f_state, a_state, r_state), out
 
     def jit_step(self, state, iq_u8):

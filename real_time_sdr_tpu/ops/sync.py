@@ -134,7 +134,12 @@ class FeedforwardSync:
         # the current sample's pilot phase (measured against ground truth),
         # so emit phi(k): nominal ramp exactly at trig + k, residual advanced
         # by its measured mean slope across the D-sample estimator lag.
-        mu = jnp.mean(d, axis=-1, keepdims=True)
+        # Slope from the block's SECOND HALF only: a cold start (zero FIR
+        # tails) corrupts the first ~(hilbert+smooth taps) deltas, and any
+        # contamination of mu rotates the carrier for the whole block —
+        # this keeps warm-up blocks (parallel.time_shard halos) convergent
+        # and is the fresher estimate in steady state too.
+        mu = jnp.mean(d[..., d.shape[-1] // 2:], axis=-1, keepdims=True)
         ramp_out = p.trig_angle((carry.trig + ks) % p.period)
         phase = ramp_out + resid_u + d_total * mu
         carrier = jnp.cos(p.nco_scale * phase + p.phase_adjust)

@@ -1,52 +1,167 @@
-"""Time-axis sequence parallelism with halo re-acquisition.
+"""Time-axis sequence parallelism: exact (tier 3) and halo-re-acquisition.
 
 The reference scales an infinite sample stream by strictly sequential block
 processing with carried state (SURVEY.md section 5 'long-context'). To shard
 *time* across devices we exploit the structure of that carried state:
 
-- FIR tails and the discriminator's previous sample are pure input history:
-  a shard that also sees the last ``overlap`` blocks of its left neighbour
-  (exchanged via ``lax.ppermute`` over the ICI ring) reproduces them exactly.
-- The PLL carry is a nonlinear recurrence, but the loop *re-acquires* from
-  arbitrary state within ~1/(norm_bw) samples; the same overlap region lets
-  each shard warm its PLL before its real segment (bounded divergence,
-  validated against the sequential chain in tests).
-- Decoder bit state is protocol-level; the host frame sync hunts for block
-  boundaries anyway, so per-shard bit streams concatenate safely.
+- FIR tails, the discriminator's previous sample, and the feedforward
+  synchronizer's delay lines are pure INPUT HISTORY: a shard that also sees
+  the last ``overlap`` blocks of its left neighbour (exchanged via
+  ``lax.ppermute`` over the ICI ring) reproduces them exactly.
+- The tier-3 feedforward synchronizer (ops.sync) carries no loop recurrence,
+  only a residual-phase LEVEL. Starting a shard with level 0 shifts its
+  unwrapped residual by a constant 2*pi*k relative to the sequential run;
+  the nominal-ramp counter offset cancels algebraically (ramp_out and the
+  residual shift by opposite amounts). A 2*pi*k level shift leaves the
+  stereo carrier (nco_scale 2.0) bit-identical and flips the 57 kHz RDS
+  carrier (nco_scale 0.5) by a constant per-shard SIGN when k is odd. Each
+  shard therefore emits its boundary residual levels; comparing neighbours'
+  levels at the shared boundary sample recovers k's parity, and the signs
+  chain left-to-right so every shard's RDS baseband matches shard 0's —
+  which IS the sequential receiver (shard 0 starts from the true initial
+  state, no warm-up).
+- The RDS bit-sync state machine is a genuine sequential recurrence, but it
+  runs at 92.625 kS/s — 3.9% of the input rate. ``exact`` mode gathers the
+  (float-exact) RRC output stream and scans the slicer/decoder over all
+  blocks in order, so decoded bits are BIT-IDENTICAL to the sequential
+  receiver. The wideband DSP — where the FLOPs are — stays fully parallel.
 
-Semantics: steady-state output matches the sequential receiver; the first
-``overlap`` blocks of each shard (and nothing of shard 0) are warm-up and
-are discarded.
+Tiers 1/2 carry a nonlinear per-sample PLL recurrence, which cannot be
+sharded exactly without serializing; for them the ``overlap`` halo doubles
+as a warm-up region in which each shard's loop re-acquires (bounded
+divergence, the reference's own acquisition behaviour). ``exact=None`` picks
+exact mode automatically whenever every carrier-recovery stage is tier 3.
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from real_time_sdr_tpu.models.receiver import Receiver
+from real_time_sdr_tpu.ops.rds_bits import bit_sync_init
+from real_time_sdr_tpu.ops.sync import FeedforwardSync
+
+_TWO_PI = 2.0 * math.pi
+
+
+def _all_feedforward(rx: Receiver) -> bool:
+    """True when every carrier-recovery stage in rx is tier-3 feedforward
+    (MonoPath has none; StereoPath/RdsPath expose ``_sync``)."""
+    for path in (rx.audio, rx.rds_path):
+        if path is None:
+            continue
+        sync = getattr(path, "_sync", None)
+        has_pll = hasattr(path, "pll_params")
+        if has_pll and not isinstance(sync, FeedforwardSync):
+            return False
+    return True
 
 
 def time_sharded_run(rx: Receiver, mesh: Mesh, blocks: jax.Array,
-                     axis: str = "time", overlap: int = 1):
+                     axis: str = "time", overlap: int = 1,
+                     exact: bool | None = None):
     """Run ``blocks`` (B, 2*block_size_iq) uint8 sharded in time.
 
     B must be divisible by the mesh axis size. Returns the stacked
     ReceiverOutput for all B blocks (leading axis B, time-ordered).
+
+    exact=True (default for all-tier-3 receivers): audio and RDS bits match
+    the sequential ``rx.run_blocks`` bit-for-bit (see module docstring).
+    exact=False: per-shard warm-up re-acquisition; steady-state audio
+    matches within SNR bounds, RDS bits are per-shard re-aligned.
     """
+    if exact is None:
+        exact = _all_feedforward(rx)
     t = mesh.shape[axis]
     b = blocks.shape[0]
     assert b % t == 0, f"blocks {b} not divisible by time shards {t}"
+
+    if not exact:
+        return _approx_run(rx, mesh, blocks, axis, overlap, t)
+    if t == 1:
+        state, outs = rx.run_blocks(rx.init_state(), blocks)
+        return outs
+
+    perm = [(i, (i + 1) % t) for i in range(t)]
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=P(axis),
+        out_specs=(P(axis), P(axis)), check_vma=False)
+    def run_dsp(local_blocks):
+        halo = jax.lax.ppermute(local_blocks[-overlap:], axis, perm=perm)
+        my_id = jax.lax.axis_index(axis)
+        init = rx.init_state()
+        warm, _ = rx.run_blocks(init, halo)
+        # Shard 0 is the true stream head: it keeps the initial state and is
+        # therefore IDENTICAL to the sequential receiver from sample 0.
+        state0 = jax.tree_util.tree_map(
+            lambda a, b_: jnp.where(my_id == 0, a, b_), init, warm)
+
+        def level(st):
+            # Total carrier phase (nominal ramp + residual) mod 4*pi at the
+            # carried sample. The residual alone is NOT comparable across
+            # shards: each shard's residual absorbs its local ramp offset.
+            if rx.rds_path is None:
+                return jnp.float32(0.0)
+            p = rx.rds_path.pll_params
+            c = st.rds.pll
+            return jnp.mod(p.trig_angle(c.trig) + c.resid, 2.0 * _TWO_PI)
+
+        final, outs = rx.run_blocks(state0, local_blocks)
+        # boundary phase levels: [after-warm-up, end-of-segment]
+        levels = jnp.stack([level(state0), level(final)])[None]  # (1, 2)
+        return outs, levels
+
+    outs, levels = run_dsp(blocks)
+    if rx.rds_path is None:
+        return outs
+
+    # -- per-shard RDS carrier sign, chained across boundaries --------------
+    # Shard k+1's level at its warm-up end and shard k's level at its
+    # segment end describe the SAME boundary sample; both are wrapped mod
+    # 4*pi and agree mod 2*pi, so their difference is (near) an integer
+    # multiple of 2*pi whose parity is k's relative carrier sign.
+    starts = levels[1:, 0]
+    ends = levels[:-1, 1]
+    m = jnp.round((starts - ends) / _TWO_PI).astype(jnp.int32)
+    parity = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(m) % 2])
+    sign = jnp.where(parity == 0, 1.0, -1.0).astype(jnp.float32)  # (t,)
     nb_local = b // t
+    sign_blocks = jnp.repeat(sign, nb_local)  # (B,)
+    clean = outs.rds_clean * sign_blocks[:, None]
+
+    # -- sequential decode over the gathered exact RRC stream ---------------
+    rds = rx.rds_path
+
+    def decode(clean_blocks):
+        def body(carry, clean_b):
+            bit_state, count = carry
+            bits, n_bits, bit_state = rds._decode_one(clean_b, bit_state,
+                                                      count)
+            return (bit_state, count + 1), (bits, n_bits)
+
+        carry0 = (bit_sync_init(), jnp.zeros((), jnp.int32))
+        _, (bits, n_bits) = jax.lax.scan(body, carry0, clean_blocks)
+        return bits, n_bits
+
+    bits, n_bits = jax.jit(decode)(clean)
+    return outs._replace(rds_bits=bits, rds_nbits=n_bits, rds_clean=clean)
+
+
+def _approx_run(rx: Receiver, mesh: Mesh, blocks: jax.Array, axis: str,
+                overlap: int, t: int):
+    """Warm-up re-acquisition sharding for tier-1/2 (loop PLL) receivers."""
 
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=P(axis),
         out_specs=P(axis), check_vma=False)
     def run(local_blocks):
-        # halo: my last `overlap` blocks -> right neighbour
         tail = local_blocks[-overlap:]
         halo = jax.lax.ppermute(
             tail, axis, perm=[(i, (i + 1) % t) for i in range(t)])

@@ -1,0 +1,97 @@
+"""Multi-process (2-host emulation) channel-bank execution over
+``jax.distributed`` — proves the parallel.distributed helpers end-to-end.
+
+The reference is strictly single-host (SURVEY.md section 5); this is the
+framework's N>=2-host scaling story: each process feeds only its own channel
+rows (``host_channel_slice`` + ``make_global_channel_array``) and the bank
+step runs SPMD over the global mesh. Two subprocesses on localhost with a
+TCP coordinator, 2 CPU devices each -> a 4-device global mesh.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = textwrap.dedent("""
+    import sys
+    port, pid, outdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    import numpy as np
+    from real_time_sdr_tpu.models.receiver import Receiver
+    from real_time_sdr_tpu.parallel import distributed as D
+    from real_time_sdr_tpu.parallel.channel import ChannelBank
+    from real_time_sdr_tpu.utils import synth
+
+    D.initialize(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 4, jax.devices()
+    mesh = D.channel_mesh()
+
+    rx = Receiver(0, stereo=True, rds=False)
+    C = 4
+    iq, _ = synth.station_iq(rx.cfg, 1)   # deterministic on both hosts
+    rows = np.stack([np.roll(iq, 2 * 997 * c) for c in range(C)])
+    sl = D.host_channel_slice(C)
+    assert sl == slice(2 * pid, 2 * pid + 2), sl
+    garr = D.make_global_channel_array(mesh, rows[sl])
+
+    bank = ChannelBank(rx, C, mesh=mesh)
+    state = bank.init_state()
+    state, out = bank.step(state, garr)
+
+    # every process saves ITS addressable output shards + the local
+    # single-device reference for those channels
+    for shard in out.left.addressable_shards:
+        c0 = shard.index[0].start or 0
+        got = np.asarray(shard.data)
+        for j in range(got.shape[0]):
+            c = c0 + j
+            s1 = rx.init_state()
+            _, ref = rx.jit_step(s1, rows[c])
+            ref = np.asarray(ref.left)
+            snr = 10 * np.log10(np.mean(ref ** 2) /
+                                (np.mean((ref - got[j]) ** 2) + 1e-30))
+            assert snr > 80, f"ch {c}: {snr:.1f} dB"
+    print(f"WORKER_OK {pid}", flush=True)
+""")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_channel_bank(tmp_path):
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)  # workers set their own device counts
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER, str(port), str(pid),
+             str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            cwd=REPO)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out.decode(), err.decode()))
+    for pid, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"worker {pid} rc={rc}\n{err[-2000:]}"
+        assert f"WORKER_OK {pid}" in out

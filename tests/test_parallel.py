@@ -49,6 +49,43 @@ def test_channel_bank_distinct_channels():
         assert abs(f - f_expect) < 40
 
 
+def test_time_sharding_exact_tier3_stereo_rds():
+    """Exact mode (all-tier-3): sharded audio matches the sequential
+    receiver to float precision and RDS bits are BIT-IDENTICAL — including
+    every shard's first block (no warm-up discard in the outputs)."""
+    rx = Receiver(0, stereo=True, rds=True, pll_tier=3)
+    n_blocks = 8
+    iq, _ = synth.station_iq(rx.cfg, n_blocks)
+    blocks = jnp.asarray(iq.reshape(n_blocks, -1))
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(1, 4), ("ch", "time"))
+    outs = time_sharded_run(rx, mesh, blocks, overlap=1)
+    assert outs is not None
+
+    _, seq = rx.jit_run_blocks(rx.init_state(), blocks)
+
+    for name in ("left", "right"):
+        got = np.asarray(getattr(outs, name))
+        ref = np.asarray(getattr(seq, name))
+        err = np.mean((ref - got) ** 2)
+        sig = np.mean(ref ** 2)
+        snr = 10 * np.log10(sig / (err + 1e-30))
+        assert snr > 100, f"{name}: snr {snr:.1f} dB"
+
+    np.testing.assert_array_equal(np.asarray(outs.rds_nbits),
+                                  np.asarray(seq.rds_nbits))
+    np.testing.assert_array_equal(np.asarray(outs.rds_bits),
+                                  np.asarray(seq.rds_bits))
+
+
+def test_time_sharding_exact_auto_selects_tier3():
+    from real_time_sdr_tpu.parallel.time_shard import _all_feedforward
+    assert _all_feedforward(Receiver(0, stereo=True, rds=True, pll_tier=3))
+    assert not _all_feedforward(Receiver(0, stereo=True, rds=True,
+                                         pll_tier=1))
+    assert _all_feedforward(Receiver(0, stereo=False))  # mono: no PLL
+
+
 @pytest.mark.parametrize("overlap", [1, 2])
 def test_time_sharding_matches_sequential_steady_state(overlap):
     rx = Receiver(0, stereo=True, rds=False)
