@@ -89,6 +89,19 @@ def fm_demod_block(i_sig, q_sig, prev_i, prev_q):
     return out, i_sig[-1], q_sig[-1]
 
 
+def fm_demod_arctan_block(i_sig, q_sig, prev_phase=0.0):
+    """Arctan+unwrap discriminator, loop-level (fmDemodArctan,
+    model/fmSupportLib.py:116-145; used by the primary oracle
+    model/fmMonoBlock.py:101). Carries the running unwrapped phase."""
+    out = np.empty(len(i_sig))
+    for k in range(len(i_sig)):
+        cur = math.atan2(q_sig[k], i_sig[k])
+        prev_phase, cur = np.unwrap([prev_phase, cur])
+        out[k] = cur - prev_phase
+        prev_phase = cur
+    return out, prev_phase
+
+
 # ----------------------------------------------------------------------------
 # PLL + NCO
 # ----------------------------------------------------------------------------

@@ -175,6 +175,54 @@ def station_iq(cfg: ReceiverConfig, n_blocks: int, *,
 
 
 # ---------------------------------------------------------------------------
+# Channel impairments (beyond the reference: its only fixtures are clean
+# synthetic or off-air captures; these model what a real tuner front end
+# delivers so decode-survival is testable without recordings)
+# ---------------------------------------------------------------------------
+
+def impair_iq(iq_u8: np.ndarray, rf_fs: int, *,
+              multipath: list[tuple[float, float, float]] | None = None,
+              doppler_hz: float = 0.0,
+              freq_offset_hz: float = 0.0,
+              freq_drift_hz_s: float = 0.0,
+              noise_std: float = 0.0,
+              seed: int = 0) -> np.ndarray:
+    """Apply channel impairments to a uint8 interleaved IQ capture.
+
+    multipath: echoes as (delay_seconds, amplitude, phase_rad) added to the
+        direct path; with ``doppler_hz`` nonzero each echo k also rotates at
+        (k+1)*doppler_hz, i.e. a slow multi-ray fading channel (the sum
+        amplitude beats through constructive/destructive interference).
+    freq_offset_hz / freq_drift_hz_s: carrier frequency offset and linear
+        drift (tuner ppm error and thermal drift).
+    noise_std: complex AWGN sigma per I/Q rail (unit-amplitude signal).
+    """
+    z = ((iq_u8[0::2].astype(np.float64) - 128.0)
+         + 1j * (iq_u8[1::2].astype(np.float64) - 128.0)) / 128.0
+    n = len(z)
+    t = np.arange(n) / rf_fs
+    if multipath:
+        acc = z.copy()
+        for k, (delay_s, amp, ph) in enumerate(multipath):
+            d = int(round(delay_s * rf_fs))
+            echo = np.concatenate([np.zeros(d, dtype=z.dtype), z[:n - d]])
+            rot = np.exp(1j * (ph + 2 * np.pi * (k + 1) * doppler_hz * t))
+            acc = acc + amp * echo * rot
+        z = acc
+    if freq_offset_hz or freq_drift_hz_s:
+        z = z * np.exp(2j * np.pi * (freq_offset_hz * t
+                                     + 0.5 * freq_drift_hz_s * t * t))
+    if noise_std > 0:
+        rng = np.random.default_rng(seed)
+        z = z + noise_std * (rng.standard_normal(n)
+                             + 1j * rng.standard_normal(n))
+    out = np.empty(2 * n)
+    out[0::2] = z.real
+    out[1::2] = z.imag
+    return np.clip(np.round(128.0 + 127.0 * out), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
 # Simple test-fixture generators (src/genfunc.cpp:13-41 twins)
 # ---------------------------------------------------------------------------
 

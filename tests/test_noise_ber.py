@@ -54,3 +54,48 @@ def test_rds_ber_clean_and_noisy():
         if nbs[b] > 0:
             framer.feed(bits[b][:nbs[b]])
     assert framer.events.ps_name == "BERTEST "  # protocol survives noise
+
+
+def _decode_ps(rx, iq, nb):
+    _, out = rx.run_segment(rx.init_state(), jnp.asarray(iq))
+    framer = RdsFramer()
+    bits, nbs = np.asarray(out.rds_bits), np.asarray(out.rds_nbits)
+    for b in range(nb):
+        if nbs[b] > 0:
+            framer.feed(bits[b][:nbs[b]])
+    return out, framer
+
+
+def test_rds_survives_multipath_fading():
+    """Two-ray multipath with slow Doppler fading + mild AWGN: the decoder
+    must hold sync and recover the PS name (no recordings exist in this
+    image; this is the synthetic stand-in for off-air validation)."""
+    rx = Receiver(0, stereo=True, rds=True, pll_tier=1)
+    nb = 30
+    iq, truth = synth.station_iq(rx.cfg, nb, ps_name="FADETEST", pi=0x5151,
+                                 pty=4)
+    iq = synth.impair_iq(
+        iq, rx.cfg.rf_fs,
+        multipath=[(2e-6, 0.30, 1.1), (5e-6, 0.15, -0.7)],
+        doppler_hz=1.5, noise_std=0.02)
+    out, framer = _decode_ps(rx, iq, nb)
+    ber, n = measure_ber(out, truth, nb)
+    assert n > 700
+    assert ber < 2e-2, f"multipath BER {ber}"
+    assert framer.events.ps_name == "FADETEST"
+
+
+def test_rds_survives_frequency_drift():
+    """Tuner ppm error (+-400 Hz CFO) plus linear thermal drift: the PLL /
+    synchronizer tracks, protocol decode survives."""
+    rx = Receiver(0, stereo=True, rds=True, pll_tier=1)
+    nb = 30
+    iq, truth = synth.station_iq(rx.cfg, nb, ps_name="DRIFTTST", pi=0x6262,
+                                 pty=7)
+    iq = synth.impair_iq(iq, rx.cfg.rf_fs, freq_offset_hz=400.0,
+                         freq_drift_hz_s=-150.0)
+    out, framer = _decode_ps(rx, iq, nb)
+    ber, n = measure_ber(out, truth, nb)
+    assert n > 700
+    assert ber < 1e-2, f"drift BER {ber}"
+    assert framer.events.ps_name == "DRIFTTST"

@@ -96,6 +96,32 @@ def test_fm_demod_matches_golden():
         assert snr_db(g, np.asarray(y)) > 80
 
 
+def test_fm_demod_arctan_matches_golden():
+    from real_time_sdr_tpu.ops.demod import fm_demod_arctan
+
+    t = np.arange(7350) / 240e3
+    msg = np.sin(2 * np.pi * 1000 * t)
+    phase = np.cumsum(msg) * 2 * np.pi * 50e3 / 240e3
+    i_all = np.cos(phase).astype(np.float32)
+    q_all = np.sin(phase).astype(np.float32)
+
+    gp = 0.0
+    jp = jnp.zeros(())
+    for s in range(0, 7350, 735):
+        i_b, q_b = i_all[s:s + 735], q_all[s:s + 735]
+        g, gp = dsp.fm_demod_arctan_block(i_b, q_b, gp)
+        y, jp = fm_demod_arctan(jnp.asarray(i_b), jnp.asarray(q_b), jp)
+        assert snr_db(g, np.asarray(y)) > 80
+    # arctan and arctan-free demods agree at small per-sample phase steps
+    # (the arctan-free form is the sin(d_theta) ~= d_theta approximation, so
+    # they diverge by design at large deviation)
+    phase_lo = np.cumsum(msg) * 2 * np.pi * 5e3 / 240e3
+    i_lo, q_lo = np.cos(phase_lo), np.sin(phase_lo)
+    g_free, _, _ = dsp.fm_demod_block(i_lo, q_lo, 1.0, 0.0)
+    g_atan, _ = dsp.fm_demod_arctan_block(i_lo, q_lo, 0.0)
+    assert snr_db(g_atan[10:], g_free[10:]) > 45
+
+
 def test_fm_demod_zero_guard():
     i = jnp.asarray(np.array([0.0, 1.0, 0.0], np.float32))
     q = jnp.asarray(np.array([0.0, 0.0, 0.0], np.float32))
