@@ -40,6 +40,11 @@ def make_parser() -> argparse.ArgumentParser:
                     help="1=exact sequential PLL, 2=block-parallel Newton, "
                          "3=feedforward sync (fastest; approximates the "
                          "locked loop, not the acquisition transient)")
+    ap.add_argument("--rds-timing", choices=("comb", "tracked"),
+                    default="comb",
+                    help="RDS symbol clock: comb=per-block argmax CDR "
+                         "(reference behaviour), tracked=drift-following "
+                         "interpolating CDR (survives tuner ppm error)")
     ap.add_argument("--checkpoint", default=None,
                     help="state .npz to resume from / save on EOF")
     ap.add_argument("--max-blocks", type=int, default=None)
@@ -172,7 +177,8 @@ def main(argv=None) -> int:
 
     stereo = args.type in ("s", "r")
     rds = args.type == "r"
-    rx = Receiver(args.mode, stereo=stereo, rds=rds, pll_tier=args.pll_tier)
+    rx = Receiver(args.mode, stereo=stereo, rds=rds, pll_tier=args.pll_tier,
+                  rds_timing=args.rds_timing)
     cfg = rx.cfg
 
     if args.stations:

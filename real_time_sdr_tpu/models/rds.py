@@ -25,8 +25,10 @@ from real_time_sdr_tpu.ops import filters
 from real_time_sdr_tpu.ops.fir import PolyFIR, state_len
 from real_time_sdr_tpu.ops.pll import (PllCarry, PllParams, pll_init,
                                        pll_newton, pll_scan)
-from real_time_sdr_tpu.ops.rds_bits import (BitSyncState, bit_sync_init,
-                                            decode_block_bits)
+from real_time_sdr_tpu.ops.rds_bits import (BitSyncState, TimingTrack,
+                                            bit_sync_init, decode_block_bits,
+                                            decode_block_bits_tracked,
+                                            timing_init)
 from real_time_sdr_tpu.ops.sync import FeedforwardSync
 
 
@@ -39,12 +41,23 @@ class RdsState(NamedTuple):
     pll: PllCarry
     bits: BitSyncState
     block_count: jax.Array  # int32; decode gated to block_count > 5
+    track: TimingTrack | None = None  # tracking-CDR carry (timing="tracked")
 
 
 class RdsPath:
-    """fm_demod -> (bits, n_bits, rds_clean) per block."""
+    """fm_demod -> (bits, n_bits, rds_clean) per block.
 
-    def __init__(self, cfg: ReceiverConfig, pll_tier: int = 1):
+    timing: "comb" = the reference's per-block argmax CDR
+    (src/rds_utilities.cpp:4-21); "tracked" = polyphase-interpolating CDR
+    with drift accumulator (twin of the Muller-Mueller tracking in
+    model/pySDRRDS.py:36-55, redesigned feedforward for TPU) — follows a
+    symbol-clock ppm error the fixed comb cannot.
+    """
+
+    def __init__(self, cfg: ReceiverConfig, pll_tier: int = 1,
+                 timing: str = "comb"):
+        assert timing in ("comb", "tracked")
+        self.timing = timing
         self.cfg = cfg
         fs_if = cfg.if_fs
         up, down = cfg.rds_resample
@@ -84,21 +97,29 @@ class RdsPath:
             pll=(self._sync.init(batch) if self._sync is not None
                  else pll_init(batch)),
             bits=bit_sync_init(batch),
-            block_count=jnp.zeros(batch, jnp.int32))
+            block_count=jnp.zeros(batch, jnp.int32),
+            track=(timing_init(batch) if self.timing == "tracked" else None))
 
     def _decode_one(self, clean: jax.Array, bit_state: BitSyncState,
-                    block_count: jax.Array):
+                    track, block_count: jax.Array):
         """Per-RDS-block slicer/decoder with the reference's 5-block warm-up
         gate (src/rds.cpp:135): before warm-up the decoder does not run at
         all, so the carried bit state holds."""
         cfg = self.cfg
-        bits, n_bits, new_bits = decode_block_bits(
-            clean, bit_state, cfg.sps, cfg.max_symbols, cfg.max_bits)
+        if self.timing == "tracked":
+            bits, n_bits, new_bits, new_track = decode_block_bits_tracked(
+                clean, bit_state, track, cfg.sps, cfg.max_symbols,
+                cfg.max_bits)
+        else:
+            bits, n_bits, new_bits = decode_block_bits(
+                clean, bit_state, cfg.sps, cfg.max_symbols, cfg.max_bits)
+            new_track = None
         warm = block_count > 5
         n_bits = jnp.where(warm, n_bits, 0)
         new_bits = jax.tree_util.tree_map(
             lambda new, old: jnp.where(warm, new, old), new_bits, bit_state)
-        return bits, n_bits, new_bits
+        # the timing loop is NOT gated: it locks during warm-up
+        return bits, n_bits, new_bits, new_track
 
     def __call__(self, demod: jax.Array, state: RdsState):
         """demod: (if_block,) for block mode, or (nb*if_block,) for segment
@@ -125,11 +146,11 @@ class RdsPath:
             filt, baseband_tail = self.baseband_fir(mixed,
                                                     state.baseband_tail)
             clean, rrc_tail = self.rrc_fir(filt, state.rrc_tail)
-            bits, n_bits, bit_state = self._decode_one(
-                clean, state.bits, state.block_count)
+            bits, n_bits, bit_state, track = self._decode_one(
+                clean, state.bits, state.track, state.block_count)
             new_state = RdsState(band_tail, pilot_tail, delay_tail,
                                  baseband_tail, rrc_tail, pll, bit_state,
-                                 state.block_count + 1)
+                                 state.block_count + 1, track)
             return (bits, n_bits, clean), new_state
 
         # Segment mode: per-block narrowband processing, but BATCHED — the
@@ -150,15 +171,15 @@ class RdsPath:
         clean, _ = self.rrc_fir(filt, rrc_tails)
 
         def body(carry, clean_b):
-            bit_state, count = carry
-            bits, n_bits, bit_state = self._decode_one(clean_b, bit_state,
-                                                       count)
-            return (bit_state, count + 1), (bits, n_bits)
+            bit_state, track, count = carry
+            bits, n_bits, bit_state, track = self._decode_one(
+                clean_b, bit_state, track, count)
+            return (bit_state, track, count + 1), (bits, n_bits)
 
-        (bit_state, count), (bits, n_bits) = jax.lax.scan(
-            body, (state.bits, state.block_count), clean)
+        (bit_state, track, count), (bits, n_bits) = jax.lax.scan(
+            body, (state.bits, state.track, state.block_count), clean)
         bb_tail = mixed_blocks[-1, cfg.if_block - self.baseband_fir.tail_len:]
         rrc_tail = filt[-1, filt.shape[-1] - self.rrc_fir.tail_len:]
         new_state = RdsState(band_tail, pilot_tail, delay_tail, bb_tail,
-                             rrc_tail, pll, bit_state, count)
+                             rrc_tail, pll, bit_state, count, track)
         return (bits, n_bits, clean), new_state

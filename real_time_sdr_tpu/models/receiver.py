@@ -47,7 +47,8 @@ class Receiver:
     """
 
     def __init__(self, cfg: ReceiverConfig | int = 0, *, stereo: bool = False,
-                 rds: bool = False, pll_tier: int = 1):
+                 rds: bool = False, pll_tier: int = 1,
+                 rds_timing: str = "comb"):
         if isinstance(cfg, int):
             cfg = mode_config(cfg)
         self.cfg = cfg
@@ -55,7 +56,8 @@ class Receiver:
         self.rds = rds
         self.frontend = Frontend(cfg)
         self.audio = StereoPath(cfg, pll_tier) if stereo else MonoPath(cfg)
-        self.rds_path = RdsPath(cfg, pll_tier) if rds else None
+        self.rds_path = (RdsPath(cfg, pll_tier, timing=rds_timing)
+                         if rds else None)
         self._jit_step = jax.jit(self.step)
         self._jit_scan = jax.jit(self.run_blocks)
 

@@ -23,6 +23,7 @@ import numpy as np
 
 __all__ = [
     "BitSyncState", "bit_sync_init", "cdr_offset", "decode_block_bits",
+    "TimingTrack", "timing_init", "cdr_tracked", "decode_block_bits_tracked",
     "parity_matrix_np", "OFFSET_SYNDROMES",
 ]
 
@@ -108,7 +109,16 @@ def decode_block_bits(rds_clean: jax.Array, state: BitSyncState, sps: int,
     sym = (jnp.take(rds_clean, jnp.clip(pos, 0, L - 1)) > 0).astype(jnp.int32)
     sym = jnp.where(valid, sym, 0)
     n_sym = valid.sum().astype(jnp.int32)  # == ceil((L-offset)/sps)
+    return _symbols_to_bits(sym, n_sym, state, max_symbols, max_bits)
 
+
+def _symbols_to_bits(sym: jax.Array, n_sym: jax.Array, state: BitSyncState,
+                     max_symbols: int, max_bits: int):
+    """Manchester-align + differential-decode a sliced symbol block.
+
+    sym: (max_symbols,) int32 in {0,1} with the first n_sym valid.
+    Shared by the fixed-comb CDR (decode_block_bits) and the tracking CDR
+    (decode_block_bits_tracked)."""
     # Block-0 alignment scoring (src/rds_utilities.cpp:42-51): pairs starting
     # even minus pairs starting odd, over indices < n_sym-1.
     nxt = jnp.roll(sym, -1)
@@ -156,6 +166,114 @@ def decode_block_bits(rds_clean: jax.Array, state: BitSyncState, sps: int,
         first=jnp.zeros_like(state.first),  # scoring happens on block 0 only
         start=new_start, half_symbol=new_half, last_bit=new_last)
     return decoded, n_bits, new_state
+
+
+class TimingTrack(NamedTuple):
+    """Tracking-CDR carry: symbol-clock phase and rate across blocks.
+
+    The reference's per-block argmax CDR (src/rds_utilities.cpp:4-21)
+    re-estimates an integer comb phase each block and cannot follow a
+    sample-clock ppm error WITHIN a block (its alt model tracks with a
+    Muller-Mueller loop, model/pySDRRDS.py:36-55). This carry holds the
+    fractional next-symbol position, the per-symbol period deviation, and
+    the previous block's final sample for cross-boundary interpolation."""
+    offset: jax.Array   # f32: next-symbol position relative to block start
+    rate: jax.Array     # f32: samples-per-symbol deviation from sps
+    last: jax.Array     # f32: previous block's final RRC sample
+    locked: jax.Array   # int32: 0 until the first block initializes phase
+
+
+def timing_init(batch: tuple = ()) -> TimingTrack:
+    f32 = partial(jnp.zeros, batch, dtype=jnp.float32)
+    return TimingTrack(offset=f32(), rate=f32(), last=f32(),
+                       locked=jnp.zeros(batch, jnp.int32))
+
+
+def cdr_tracked(rds_clean: jax.Array, track: TimingTrack, sps: int,
+                max_symbols: int, phase_gain: float = 0.3,
+                rate_gain: float = 0.08):
+    """Polyphase-interpolating CDR with a drift accumulator (feedforward
+    within a block, a 2nd-order PI phase loop across blocks — fully
+    vectorized, no per-symbol recurrence, so it stays TPU-shaped).
+
+    Per block: (1) full-block comb |energy| with parabolic sub-sample
+    interpolation around the argmax -> one fractional phase measurement;
+    (2) PI update against the carried prediction (phase_gain on the wrapped
+    innovation, rate_gain/symbols into the per-symbol period deviation) —
+    a transmitter clock ppm error appears as a constant phase ramp and the
+    integrator converges to it; (3) slice by LINEAR INTERPOLATION at
+    drifting positions p_k = offset + k*(sps + rate). Returns
+    (sym (max_symbols,) i32, soft (max_symbols,) f32, n_sym, new_track).
+    """
+    L = rds_clean.shape[-1]
+    a = jnp.abs(rds_clean)
+    n_comb = L // sps
+    energy = a[..., :n_comb * sps].reshape(
+        a.shape[:-1] + (n_comb, sps)).sum(axis=-2)   # (..., sps)
+    m = jnp.argmax(energy, axis=-1)
+    # parabolic interpolation around the peak (cyclic neighbours)
+    em = jnp.take_along_axis(energy, m[..., None], axis=-1)[..., 0]
+    el = jnp.take_along_axis(energy, ((m - 1) % sps)[..., None],
+                             axis=-1)[..., 0]
+    er = jnp.take_along_axis(energy, ((m + 1) % sps)[..., None],
+                             axis=-1)[..., 0]
+    denom = el - 2.0 * em + er
+    delta = jnp.where(jnp.abs(denom) > 1e-9,
+                      0.5 * (el - er) / jnp.where(denom == 0, 1.0, denom),
+                      0.0)
+    o_meas = jnp.mod(m.astype(jnp.float32) + jnp.clip(delta, -0.5, 0.5), sps)
+
+    def wrap_half(d):
+        return jnp.mod(d + 0.5 * sps, sps) - 0.5 * sps
+
+    cold = track.locked == 0
+    o_pred = track.offset
+    e = wrap_half(o_meas - o_pred)
+    o0 = jnp.where(cold, o_meas, o_pred + phase_gain * e)
+    nom_syms = float(L) / sps
+    rate = jnp.where(cold, 0.0,
+                     track.rate + rate_gain * e / nom_syms)
+    # +-2000 ppm capture range; also keeps the max symbol count per block
+    # within the static max_symbols=ceil(L/sps) bound
+    rate = jnp.clip(rate, -0.002 * sps, 0.002 * sps)
+    # keep the slice start in [-1, sps+rate): dropping/adding one boundary
+    # symbol is handled by the Manchester parity carry, whereas an
+    # unbounded offset would walk off the block (positive feedback)
+    period = sps + rate
+    o0 = o0 - period * jnp.floor((o0 + 1.0) / period)
+
+    # count from the drift-corrected grid alone; p >= -1 holds by the wrap
+    k = jnp.arange(max_symbols, dtype=jnp.float32)
+    p = o0[..., None] + k * period[..., None]
+    valid = p < L - 1
+    pp = jnp.clip(p + 1.0, 0.0, float(L) - 1e-3)
+    i0 = jnp.floor(pp).astype(jnp.int32)
+    frac = pp - i0.astype(jnp.float32)
+    # padded with the carried boundary sample so p in [-1, 0) interpolates
+    # across the block seam
+    padded = jnp.concatenate([track.last[..., None], rds_clean], axis=-1)
+    y0 = jnp.take(padded, i0)
+    y1 = jnp.take(padded, jnp.minimum(i0 + 1, L))
+    soft = jnp.where(valid, y0 * (1.0 - frac) + y1 * frac, 0.0)
+    sym = (soft > 0).astype(jnp.int32)
+    n_sym = valid.sum(axis=-1).astype(jnp.int32)
+
+    next_off = o0 + n_sym.astype(jnp.float32) * period - L
+    new_track = TimingTrack(offset=next_off, rate=rate,
+                            last=rds_clean[..., -1],
+                            locked=jnp.ones_like(track.locked))
+    return sym, soft, n_sym, new_track
+
+
+def decode_block_bits_tracked(rds_clean: jax.Array, state: BitSyncState,
+                              track: TimingTrack, sps: int,
+                              max_symbols: int, max_bits: int):
+    """decode_block_bits with the tracking CDR in place of the fixed comb."""
+    sym, _soft, n_sym, track = cdr_tracked(rds_clean, track, sps,
+                                           max_symbols)
+    bits, n_bits, state = _symbols_to_bits(sym, n_sym, state, max_symbols,
+                                           max_bits)
+    return bits, n_bits, state, track
 
 
 # NOTE: the sliding-window mod-2 syndrome matmul (the replacement for the

@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from real_time_sdr_tpu.models.receiver import Receiver
-from real_time_sdr_tpu.ops.rds_bits import bit_sync_init
+from real_time_sdr_tpu.ops.rds_bits import bit_sync_init, timing_init
 from real_time_sdr_tpu.ops.sync import FeedforwardSync
 
 _TWO_PI = 2.0 * math.pi
@@ -141,12 +141,13 @@ def time_sharded_run(rx: Receiver, mesh: Mesh, blocks: jax.Array,
 
     def decode(clean_blocks):
         def body(carry, clean_b):
-            bit_state, count = carry
-            bits, n_bits, bit_state = rds._decode_one(clean_b, bit_state,
-                                                      count)
-            return (bit_state, count + 1), (bits, n_bits)
+            bit_state, track, count = carry
+            bits, n_bits, bit_state, track = rds._decode_one(
+                clean_b, bit_state, track, count)
+            return (bit_state, track, count + 1), (bits, n_bits)
 
-        carry0 = (bit_sync_init(), jnp.zeros((), jnp.int32))
+        track0 = timing_init() if rds.timing == "tracked" else None
+        carry0 = (bit_sync_init(), track0, jnp.zeros((), jnp.int32))
         _, (bits, n_bits) = jax.lax.scan(body, carry0, clean_blocks)
         return bits, n_bits
 

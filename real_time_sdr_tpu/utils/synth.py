@@ -88,18 +88,31 @@ def manchester_symbols(bits) -> np.ndarray:
 
 
 def rds_baseband(symbols: np.ndarray, rf_fs: int, n_samples: int,
-                 sps: int = 39) -> np.ndarray:
-    """RRC-shaped BPSK baseband at rf_fs (tiled to n_samples)."""
+                 sps: int = 39, clock_ppm: float = 0.0) -> np.ndarray:
+    """RRC-shaped BPSK baseband at rf_fs (tiled to n_samples).
+
+    clock_ppm: transmitter symbol-clock error — symbols run at
+    2375*(1 + ppm*1e-6) baud (the impairment a tracking CDR must follow;
+    the per-block argmax CDR slips a symbol each time the accumulated
+    drift wraps one comb phase)."""
     fs = int(RDS_SYMBOL_RATE * sps)
     x = np.zeros(len(symbols) * sps)
     x[::sps] = symbols
     h = design_rrc(fs, 16 * sps + 1)
     shaped = np.convolve(x, h, mode="same")
-    ratio = Fraction(rf_fs, fs)
-    up, down = ratio.numerator, ratio.denominator
-    resampled = sp_signal.resample_poly(shaped, up, down)
-    reps = int(np.ceil(n_samples / len(resampled)))
-    return np.tile(resampled, reps)[:n_samples]
+    if clock_ppm == 0.0:
+        ratio = Fraction(rf_fs, fs)
+        up, down = ratio.numerator, ratio.denominator
+        resampled = sp_signal.resample_poly(shaped, up, down)
+        reps = int(np.ceil(n_samples / len(resampled)))
+        return np.tile(resampled, reps)[:n_samples]
+    # scaled-clock path: shaped is ~39x oversampled (band edge ~2.4% of
+    # fs), so linear interpolation onto the scaled rf grid is essentially
+    # exact and handles irrational-looking ratios directly
+    scale = 1.0 + clock_ppm * 1e-6
+    pos = np.arange(n_samples) * (fs * scale / rf_fs)
+    pos = np.mod(pos, len(shaped) - 1.0)
+    return np.interp(pos, np.arange(len(shaped), dtype=np.float64), shaped)
 
 
 # ---------------------------------------------------------------------------
@@ -113,8 +126,8 @@ def fm_iq(rf_fs: int, n_samples: int, *,
           mono_amp: float = 0.45, pilot_amp: float = 0.10,
           stereo_amp: float = 0.45, rds_amp: float = 0.06,
           deviation: float = 75_000.0, phase0: float = 0.0,
-          rds_sps: int = 39, noise_std: float = 0.0,
-          noise_seed: int = 0,
+          rds_sps: int = 39, rds_clock_ppm: float = 0.0,
+          noise_std: float = 0.0, noise_seed: int = 0,
           pilot_freq: float = PILOT_FREQ) -> np.ndarray:
     """Synthesize uint8 interleaved IQ for one FM station.
 
@@ -130,7 +143,8 @@ def fm_iq(rf_fs: int, n_samples: int, *,
     if stereo_diff is not None:
         m += stereo_amp * stereo_diff[:n_samples] * np.cos(2 * theta_p)
     if rds_symbols is not None:
-        bb = rds_baseband(rds_symbols, rf_fs, n_samples, rds_sps)
+        bb = rds_baseband(rds_symbols, rf_fs, n_samples, rds_sps,
+                          clock_ppm=rds_clock_ppm)
         m += rds_amp * bb * np.cos(3 * theta_p)
 
     phase = phase0 + 2 * np.pi * deviation * np.cumsum(m) / rf_fs
