@@ -51,14 +51,13 @@ _printed = False
 def _emit(*_args) -> None:
     """Print the best result exactly once (normal exit or signal)."""
     global _printed
-    if _printed:
-        return
-    if _result is not None:
+    if _result is not None and not _printed:
         _printed = True
         print(json.dumps(_result), flush=True)
-        # exit cleanly from a signal handler so the driver records rc 0
-        if _args:
-            os._exit(0)
+    if _args:
+        # signal path: NEVER swallow SIGTERM/SIGINT (a handler that
+        # returns would keep the process alive past the driver's timeout)
+        os._exit(0 if _result is not None else 143)
 
 
 def _better(new: dict | None, old: dict | None) -> dict | None:

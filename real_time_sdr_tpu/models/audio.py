@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from real_time_sdr_tpu import config as C
 from real_time_sdr_tpu.config import ReceiverConfig
 from real_time_sdr_tpu.ops import filters
-from real_time_sdr_tpu.ops.fir import PolyFIR, state_len
+from real_time_sdr_tpu.ops.fir import (PolyFIR, shared_frames_apply,
+                                       state_len)
 from real_time_sdr_tpu.ops.pll import (PllCarry, PllParams, pll_init,
                                        pll_newton, pll_scan)
 from real_time_sdr_tpu.ops.sync import FeedforwardSync
@@ -100,12 +101,20 @@ class StereoPath:
             pll=(self._sync.init(batch) if self._sync is not None
                  else pll_init(batch)))
 
-    def __call__(self, demod: jax.Array, state: StereoState):
-        pilot, pilot_tail = self.pilot_fir(demod, state.pilot_tail)
+    def __call__(self, demod: jax.Array, state: StereoState, shared=None):
+        """shared: optional (pilot, band, new_tail) precomputed by the
+        receiver-level shared-frame IF matmul (ops.fir.shared_frames_apply)
+        so the stereo and RDS band filters ride one MXU pass."""
+        if shared is not None:
+            pilot, band, pilot_tail = shared
+            band_tail = pilot_tail
+        else:
+            (pilot, band), pilot_tail = shared_frames_apply(
+                [self.pilot_fir, self.band_fir], demod, state.pilot_tail)
+            band_tail = pilot_tail
         carrier, pll = self._pll(jax.lax.optimization_barrier(pilot),
                                  state.pll, self.pll_params)
         carrier = jax.lax.optimization_barrier(carrier)
-        band, band_tail = self.band_fir(demod, state.band_tail)
         stereo_dc = 2.0 * band * carrier
         mono_delay, delay_tail = self.delay_fir(demod, state.delay_tail)
         mono, mono_tail = self.mono_fir(mono_delay, state.mono_tail)

@@ -121,19 +121,25 @@ class RdsPath:
         # the timing loop is NOT gated: it locks during warm-up
         return bits, n_bits, new_bits, new_track
 
-    def __call__(self, demod: jax.Array, state: RdsState):
+    def __call__(self, demod: jax.Array, state: RdsState, band_pre=None):
         """demod: (if_block,) for block mode, or (nb*if_block,) for segment
         mode. Segment mode runs the wideband stages (band/pilot BPFs, PLL,
         mix) over the whole segment in one pass, then scans the narrowband
         tail (baseband resample, RRC, slicer) per block so the decoded bits
         are identical to block-by-block execution.
 
+        band_pre: optional (band, new_tail) from the receiver-level
+        shared-frame IF matmul.
+
         Returns ((bits, n_bits, clean), state) with a leading nb axis on the
         outputs in segment mode.
         """
         cfg = self.cfg
         nb = demod.shape[-1] // cfg.if_block
-        band, band_tail = self.band_fir(demod, state.band_tail)
+        if band_pre is not None:
+            band, band_tail = band_pre
+        else:
+            band, band_tail = self.band_fir(demod, state.band_tail)
         squared = band * band
         pilot, pilot_tail = self.pilot_fir(squared, state.pilot_tail)
         carrier, pll = self._pll(jax.lax.optimization_barrier(pilot),

@@ -74,14 +74,26 @@ class Receiver:
     def step(self, state: ReceiverState, iq_u8: jax.Array):
         """One block: iq_u8 (..., 2*block_size_iq) uint8."""
         demod, f_state = self.frontend(iq_u8, state.frontend)
+        shared = band_pre = None
+        if self.stereo and self.rds_path is not None:
+            # stereo pilot + stereo band + RDS band BPFs share one frame
+            # matrix and run as ONE matmul (ops.fir.shared_frames_apply)
+            from real_time_sdr_tpu.ops.fir import shared_frames_apply
+            (pilot, band_s, band_r), if_tail = shared_frames_apply(
+                [self.audio.pilot_fir, self.audio.band_fir,
+                 self.rds_path.band_fir], demod, state.audio.pilot_tail)
+            shared = (pilot, band_s, if_tail)
+            band_pre = (band_r, if_tail)
         if self.stereo:
-            (left, right), a_state = self.audio(demod, state.audio)
+            (left, right), a_state = self.audio(demod, state.audio,
+                                                shared=shared)
             mono = None
         else:
             mono, a_state = self.audio(demod, state.audio)
             left = right = None
         if self.rds_path is not None:
-            (bits, n_bits, clean), r_state = self.rds_path(demod, state.rds)
+            (bits, n_bits, clean), r_state = self.rds_path(
+                demod, state.rds, band_pre=band_pre)
         else:
             bits = n_bits = clean = r_state = None
         out = ReceiverOutput(mono=mono, left=left, right=right,

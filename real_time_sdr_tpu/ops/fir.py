@@ -163,6 +163,48 @@ class PolyFIR:
         return y, new_tail
 
 
+def shared_frames_apply(firs: list["PolyFIR"], x: jax.Array,
+                        tail: jax.Array):
+    """Apply several same-geometry FIRs to ONE input with ONE matmul.
+
+    All filters must share (up, down, num_taps); they then read identical
+    frame matrices, so the frame construction (the layout-bound part) runs
+    once and the weights concatenate into a single (J, n_filters*R) matrix —
+    one MXU pass instead of n_filters memory-bound passes. The carried tail
+    is the same input history for every filter, so ONE tail serves all.
+
+    Returns ([y_0, ..., y_{n-1}], new_tail).
+    """
+    f0 = firs[0]
+    assert all((f.up, f.down, f.num_taps) == (f0.up, f0.down, f0.num_taps)
+               for f in firs)
+    assert not f0._single_tap
+    n = x.shape[-1]
+    xx = jnp.concatenate([tail, x.astype(tail.dtype)], axis=-1)
+    xx = jax.lax.optimization_barrier(xx)
+    n_out, R, stride, J, _, c_frames, s_over, pad_to = f0._plan(n)
+    w_cat = np.concatenate([f._plan(n)[4] for f in firs], axis=1)
+    pad = pad_to - xx.shape[-1]
+    if pad > 0:
+        xp = jnp.pad(xx, [(0, 0)] * (xx.ndim - 1) + [(0, pad)])
+    else:
+        xp = xx
+    rows = xp.reshape(xp.shape[:-1] + (-1, stride))
+    parts = [rows[..., s:s + c_frames, :] for s in range(s_over)]
+    frames = jnp.concatenate(parts, axis=-1)[..., :J]
+    y = jnp.einsum("...cj,jr->...cr", frames,
+                   jnp.asarray(w_cat, dtype=frames.dtype),
+                   precision=jax.lax.Precision.HIGHEST)
+    # y: (..., c_frames, n_filters*R) -> per-filter (..., n_out)
+    outs = []
+    for i in range(len(firs)):
+        yi = y[..., i * R:(i + 1) * R]
+        outs.append(yi.reshape(yi.shape[:-2] + (-1,))[..., :n_out])
+    new_tail = (xx[..., xx.shape[-1] - f0.tail_len:]
+                if f0.tail_len else xx[..., :0])
+    return outs, new_tail
+
+
 class DualPhaseFIR:
     """Decimating FIR applied directly to an INTERLEAVED I/Q stream.
 

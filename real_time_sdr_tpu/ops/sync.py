@@ -121,8 +121,13 @@ class FeedforwardSync:
         zr = i_sig * ce + q_sig * se
         zi = q_sig * ce - i_sig * se
 
-        zr, sm_i_tail = self.sm_fir_i(zr, carry.sm_i_tail)
-        zi, sm_q_tail = self.sm_fir_q(zi, carry.sm_q_tail)
+        # one batched smoothing pass for both rails (same taps, stacked
+        # inputs -> frames built once, one matmul)
+        zs = jnp.stack([zr, zi], axis=-2)
+        tails = jnp.stack([carry.sm_i_tail, carry.sm_q_tail], axis=-2)
+        ys, new_tails = self.sm_fir_i(zs, tails)
+        zr, zi = ys[..., 0, :], ys[..., 1, :]
+        sm_i_tail, sm_q_tail = new_tails[..., 0, :], new_tails[..., 1, :]
 
         resid_w = jnp.arctan2(zi, zr)
         prev = jnp.concatenate([_wrap_pi(carry.resid)[..., None],
