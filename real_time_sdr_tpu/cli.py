@@ -50,6 +50,10 @@ def make_parser() -> argparse.ArgumentParser:
     ap.add_argument("--max-blocks", type=int, default=None)
     ap.add_argument("--stats", action="store_true",
                     help="per-block wall clock vs real-time budget on stderr")
+    ap.add_argument("--warmup", action="store_true",
+                    help="compile the receiver on a silent block BEFORE "
+                         "consuming the pipe, so a live source (rtl_sdr) is "
+                         "not backpressured through the first jit compile")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--io-depth", type=int, default=4,
                     help="ring-buffer depth for the native I/O threads")
@@ -71,6 +75,7 @@ def make_parser() -> argparse.ArgumentParser:
 def run_wideband(args, rx, cfg) -> int:
     """Multi-station mode: channelize a wideband capture and decode every
     station in parallel through a channel bank."""
+    import jax
     import jax.numpy as jnp
 
     from real_time_sdr_tpu.models.channelizer import Channelizer
@@ -116,6 +121,14 @@ def run_wideband(args, rx, cfg) -> int:
             print(f"resumed state from {args.checkpoint}", file=sys.stderr)
         except FileNotFoundError:
             pass
+    if args.warmup:
+        t0 = time.perf_counter()
+        zi = jnp.zeros((block_pairs,), jnp.float32)
+        (wi, wq), _ = ch(zi, zi, cstate)     # discarded: state untouched
+        _, wout = bank.step(bstate, ch.to_uint8(wi, wq))
+        np.asarray(jax.tree_util.tree_leaves(wout)[0]).ravel()[:1]
+        print(f"warmed up (compiled) in {time.perf_counter()-t0:.1f} s",
+              file=sys.stderr)
     n_blocks = 0
     t_total = 0.0
     while True:
@@ -203,6 +216,18 @@ def main(argv=None) -> int:
             print(f"resumed state from {args.checkpoint}", file=sys.stderr)
         except FileNotFoundError:
             pass
+
+    print(f"output: {int(cfg.audio_fs)} Hz s16le "
+          f"{'stereo' if stereo else 'mono'}  (play with: aplay -r "
+          f"{int(cfg.audio_fs)} -f S16_LE -c {2 if stereo else 1})",
+          file=sys.stderr)
+    if args.warmup:
+        t0 = time.perf_counter()
+        silent = jnp.full((block_bytes,), 128, jnp.uint8)
+        _, wout = rx.jit_step(state, silent)  # discarded: state untouched
+        np.asarray(jax.tree_util.tree_leaves(wout)[0]).ravel()[:1]
+        print(f"warmed up (compiled) in {time.perf_counter()-t0:.1f} s",
+              file=sys.stderr)
 
     def emit(kind, val):
         if kind == "group":

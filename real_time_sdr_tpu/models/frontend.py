@@ -10,6 +10,7 @@ its output, so the block makes one round trip through HBM.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -33,12 +34,37 @@ class Frontend:
     The deinterleave never happens explicitly: the dual-phase FIR consumes
     the interleaved stream directly (strided uint8 shuffles are ~3x the cost
     of the whole front end on TPU; see ops.fir.DualPhaseFIR).
+
+    Two implementations share one state contract (so checkpoints and tests
+    interchange freely):
+
+    - ``xla``: ops.fir.DualPhaseFIR + ops.demod.fm_demod, fully fused by XLA
+      except for the frame-matrix materialization;
+    - ``pallas``: ops.pallas.frontend_fused.FusedFrontendFIR — one Mosaic
+      kernel reading the raw bytes once and writing only the demod signal
+      (the production TPU path; ``interpret=True`` runs it on CPU for tests).
+
+    Selection: explicit ``impl`` argument, else the RTSDR_FRONTEND env var,
+    else "pallas" on TPU and "xla" elsewhere ("auto").
     """
 
-    def __init__(self, cfg: ReceiverConfig):
+    def __init__(self, cfg: ReceiverConfig, impl: str | None = None):
         self.cfg = cfg
         h_rf = filters.design_lpf(cfg.rf_fs, cfg.rf_fc, cfg.rf_taps)
-        self.rf_fir = DualPhaseFIR(h_rf, down=cfg.rf_decim)
+        impl = impl or os.environ.get("RTSDR_FRONTEND", "auto")
+        if impl == "auto":
+            impl = ("pallas" if jax.default_backend() not in ("cpu",)
+                    else "xla")
+        self.impl = impl
+        if impl == "pallas" or impl == "pallas_interpret":
+            from real_time_sdr_tpu.ops.pallas.frontend_fused import \
+                FusedFrontendFIR
+            self.rf_fir = FusedFrontendFIR(
+                h_rf, down=cfg.rf_decim,
+                interpret=(impl == "pallas_interpret"))
+        else:
+            assert impl == "xla", impl
+            self.rf_fir = DualPhaseFIR(h_rf, down=cfg.rf_decim)
 
     def init_state(self, batch: tuple = ()) -> FrontendState:
         # raw uint8 tail; 128 is the "zero-signal" byte
@@ -50,7 +76,11 @@ class Frontend:
         """iq_u8: (..., 2*block_size_iq) uint8 interleaved I,Q.
 
         Returns (fm_demod (..., if_block), new_state)."""
-        i_ds, q_ds, iq_tail = self.rf_fir(iq_u8, state.iq_tail)
-        demod, prev_i, prev_q = fm_demod(i_ds, q_ds, state.prev_i,
-                                         state.prev_q)
+        if self.impl != "xla":
+            demod, iq_tail, prev_i, prev_q = self.rf_fir(
+                iq_u8, state.iq_tail, state.prev_i, state.prev_q)
+        else:
+            i_ds, q_ds, iq_tail = self.rf_fir(iq_u8, state.iq_tail)
+            demod, prev_i, prev_q = fm_demod(i_ds, q_ds, state.prev_i,
+                                             state.prev_q)
         return demod, FrontendState(iq_tail, prev_i, prev_q)

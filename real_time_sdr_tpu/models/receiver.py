@@ -48,13 +48,13 @@ class Receiver:
 
     def __init__(self, cfg: ReceiverConfig | int = 0, *, stereo: bool = False,
                  rds: bool = False, pll_tier: int = 1,
-                 rds_timing: str = "comb"):
+                 rds_timing: str = "comb", frontend_impl: str | None = None):
         if isinstance(cfg, int):
             cfg = mode_config(cfg)
         self.cfg = cfg
         self.stereo = stereo
         self.rds = rds
-        self.frontend = Frontend(cfg)
+        self.frontend = Frontend(cfg, impl=frontend_impl)
         self.audio = StereoPath(cfg, pll_tier) if stereo else MonoPath(cfg)
         self.rds_path = (RdsPath(cfg, pll_tier, timing=rds_timing)
                          if rds else None)

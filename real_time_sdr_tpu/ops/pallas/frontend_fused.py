@@ -1,0 +1,227 @@
+"""Fused Pallas TPU front end: raw interleaved uint8 IQ -> FM discriminator.
+
+One kernel replaces the reference's whole frontend thread body
+(src/rffrontend.cpp:45-74: deinterleave+normalize, two decimating FIRs,
+fmDemodNoArctan) *and* the HBM round trips between those stages. The XLA
+path (ops.fir.DualPhaseFIR + ops.demod.fm_demod) materializes the bf16
+frame matrix and the decimated I/Q streams in HBM; here the raw bytes are
+read once, frames are built in VMEM from two sublane-shifted slices, the
+dual-phase banded weight matrix runs as two bf16 MXU passes (hi+lo split
+taps, exact for 8-bit data), and the discriminator epilogue runs on the
+matmul result in registers — the only HBM write is the demodulated IF
+signal (0.4 bytes out per input byte at mode 0).
+
+Geometry (per grid step = one tile of ``tf`` frames):
+
+    frame f covers outputs m = f*g + r, r in [0, g), g = 64
+    I[m] = sum_k h[k] * s[2(m*down - k)]     (s = tail-prefixed stream)
+    window_f = xs[f*stride : f*stride + Jp],  stride = g*2*down
+    W[r*2*down + 2K-2-2k, r] = h[k]/128;  W[.+1, g+r] = h[k]/128
+
+``stride`` is a multiple of 128 for every mode (g*2*down with even 2*down),
+so all window slices are lane-aligned. The uint8->float normalization
+(x-128)/128 (src/rffrontend.cpp:60) costs nothing: the bytes are XOR'd with
+0x80 on the host (u8 ^ 0x80 reinterpreted as int8 IS x-128 in two's
+complement — XLA fuses the xor into the layout pass), the /128 folds into
+the weights, and int8 values are exact in bfloat16.
+
+The demodulator needs each output's predecessor; rather than a sequential
+carry between grid steps (which would break vmap batching and grid
+parallelism), every frame's boundary sample is a tiny host-side dot over
+its boundary byte window (one vectorized einsum for all frames), passed in
+as two (frames, 1) columns and lane-concatenated with the in-frame shift.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["FusedFrontendFIR"]
+
+_G = 64  # outputs per frame: 2*G = one 128-lane column block (I | Q)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(a_ref, b_ref, whi_ref, wlo_ref, pi_ref, pq_ref, o_ref, *,
+            tf, g, stride, jp, s_over):
+    a = a_ref[:]                      # (tf, stride) int8
+    b = b_ref[:]                      # (32, stride) int8 — next rows
+    parts = [a]
+    for s in range(1, s_over):
+        rows_s = jnp.concatenate([a[s:], b[:s]], axis=0)
+        take = min(stride, jp - s * stride)
+        parts.append(rows_s[:, :take])
+    frames = jnp.concatenate(parts, axis=-1).astype(jnp.bfloat16)
+    y = (jnp.dot(frames, whi_ref[:], preferred_element_type=jnp.float32)
+         + jnp.dot(frames, wlo_ref[:], preferred_element_type=jnp.float32))
+    i_sig, q_sig = y[:, :g], y[:, g:2 * g]
+    # predecessor of in-frame column r is column r-1; column 0's predecessor
+    # (every frame's boundary sample) arrives precomputed — a pure lane
+    # concat, no sublane shifts (Mosaic rejects offset-mismatched ones)
+    ip = jnp.concatenate([pi_ref[:], i_sig[:, :g - 1]], axis=-1)
+    qp = jnp.concatenate([pq_ref[:], q_sig[:, :g - 1]], axis=-1)
+    num = i_sig * (q_sig - qp) - q_sig * (i_sig - ip)
+    den = i_sig * i_sig + q_sig * q_sig
+    zero = (i_sig == 0.0) & (q_sig == 0.0)
+    o_ref[:] = jnp.where(zero, 0.0, num / jnp.where(den == 0.0, 1.0, den))
+
+
+class FusedFrontendFIR:
+    """Pallas twin of ops.fir.DualPhaseFIR + ops.demod.fm_demod.
+
+    Same state contract as the XLA pair: a (2K-2,) raw uint8 interleaved
+    tail plus the carried (prev_i, prev_q) discriminator samples
+    (src/demod.cpp:21-22). Call maps (..., 2N) uint8 -> (..., N//down) f32
+    demod plus the new state triple.
+    """
+
+    def __init__(self, h: np.ndarray, down: int, interpret: bool = False):
+        h = np.asarray(h, dtype=np.float64)
+        assert h.ndim == 1
+        self.num_taps = K = h.shape[0]
+        self.down = int(down)
+        self.interpret = bool(interpret)
+        self._h = h
+        self.dprime = 2 * self.down
+        self.g = _G
+        self.stride = self.g * self.dprime
+        assert self.stride % 128 == 0, (down, self.stride)
+        j_used = (self.g - 1) * self.dprime + 2 * K
+        self.jp = _round_up(j_used, 128)
+        self.s_over = -(-self.jp // self.stride)
+        # banded dual-phase weights with /128 normalization folded in,
+        # split hi+lo bf16 (exact for int8 data, full f32 tap precision)
+        w = np.zeros((self.jp, 2 * self.g), dtype=np.float64)
+        for r in range(self.g):
+            for k in range(K):
+                j = r * self.dprime + 2 * K - 2 - 2 * k
+                w[j, r] = h[k]
+                w[j + 1, self.g + r] = h[k]
+        ws = (w / 128.0).astype(np.float32)
+        self._w_hi = ws.astype(jnp.bfloat16)
+        self._w_lo = (ws - np.asarray(self._w_hi, np.float32)).astype(
+            jnp.bfloat16)
+        # boundary-sample window weights: (2K, 2) f32, /128 folded
+        v = np.zeros((2 * K, 2), dtype=np.float64)
+        for k in range(K):
+            v[2 * K - 2 - 2 * k, 0] = h[k]
+            v[2 * K - 1 - 2 * k, 1] = h[k]
+        self._v = (v / 128.0).astype(np.float32)
+        self._plan_cache: dict[int, tuple] = {}
+
+    @property
+    def tail_len(self) -> int:
+        return 2 * self.num_taps - 2
+
+    def _plan(self, n2: int):
+        if n2 in self._plan_cache:
+            return self._plan_cache[n2]
+        assert n2 % self.dprime == 0, (n2, self.dprime)
+        n_out = (n2 // 2) // self.down
+        c_frames = -(-n_out // self.g)
+        tf = 128 if c_frames >= 128 else _round_up(c_frames, 32)
+        nbf = -(-c_frames // tf)
+        rows_total = nbf * tf + 32
+        plan = (n_out, c_frames, tf, nbf, rows_total)
+        self._plan_cache[n2] = plan
+        return plan
+
+    def cost(self, n2: int) -> dict:
+        """Speed-of-light accounting (see PolyFIR.cost); n2 = interleaved."""
+        n_out, c_frames, tf, nbf, rows_total = self._plan(n2)
+        flops = 2 * 2 * (nbf * tf) * self.jp * 2 * self.g  # hi+lo passes
+        byts = (1 * rows_total * self.stride   # int8 rows (single HBM read)
+                + 2 * 2 * self.jp * 2 * self.g  # resident bf16 weights
+                + 4 * n_out)                    # fused demod out
+        return {"kind": "fused_u8_bf16x2", "flops": flops, "bytes": byts,
+                "dims": (nbf * tf, self.jp, 2 * self.g)}
+
+    def _boundary_sample(self, xf: jax.Array, m: int):
+        """Decimated (I[m], Q[m]) via a tiny dot over the m-th byte window.
+
+        xf: (..., padded L) int8 tail-prefixed stream."""
+        base = 2 * m * self.down
+        win = jax.lax.slice_in_dim(xf, base, base + 2 * self.num_taps,
+                                   axis=-1).astype(jnp.float32)
+        return jnp.einsum("...j,jr->...r", win, jnp.asarray(self._v),
+                          precision=jax.lax.Precision.HIGHEST)
+
+    def __call__(self, s_u8: jax.Array, tail_u8: jax.Array,
+                 prev_i: jax.Array, prev_q: jax.Array):
+        """s_u8: (..., 2N) raw interleaved uint8; tail_u8: (..., 2K-2).
+
+        Returns (demod (..., N//down) f32, new_tail, new_prev_i, new_prev_q).
+        """
+        n2 = s_u8.shape[-1]
+        n_out, c_frames, tf, nbf, rows_total = self._plan(n2)
+        xx = jnp.concatenate([tail_u8, s_u8], axis=-1)
+        xx = jax.lax.optimization_barrier(xx)
+        new_tail = xx[..., xx.shape[-1] - self.tail_len:]
+        # u8 ^ 0x80 reinterpreted as int8 == x - 128; int8 0 == "no signal"
+        xi = jax.lax.bitcast_convert_type(xx ^ jnp.uint8(0x80), jnp.int8)
+        pad = rows_total * self.stride - xi.shape[-1]
+        xf = jnp.pad(xi, [(0, 0)] * (xi.ndim - 1) + [(0, pad)])
+        rows = xf.reshape(xf.shape[:-1] + (rows_total, self.stride))
+
+        # every frame's first output needs its predecessor (the previous
+        # frame's last I/Q): tiny f32 dots over the boundary byte windows,
+        # one vectorized einsum for all frames; frame 0 uses the carried
+        # (prev_i, prev_q) state
+        nf = nbf * tf
+        dprime = self.dprime
+        k2 = 2 * self.num_taps
+        wa = rows[..., 0:nf - 1, self.stride - dprime:self.stride]
+        wb = rows[..., 1:nf, 0:k2 - dprime]
+        wins = jnp.concatenate([wa, wb], axis=-1).astype(jnp.float32)
+        bnd = jnp.einsum("...fj,jr->...fr", wins, jnp.asarray(self._v),
+                         precision=jax.lax.Precision.HIGHEST)
+        first = jnp.stack([prev_i, prev_q], axis=-1)[..., None, :]
+        bnd = jnp.concatenate([first, bnd], axis=-2)     # (..., nf, 2)
+        pi_arr = bnd[..., 0:1]
+        pq_arr = bnd[..., 1:2]
+
+        batch = s_u8.shape[:-1]
+        tf_blocks = tf // 32
+        kern = functools.partial(_kernel, tf=tf, g=self.g,
+                                 stride=self.stride, jp=self.jp,
+                                 s_over=self.s_over)
+        call = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((nbf * tf, self.g), jnp.float32),
+            grid=(nbf,),
+            in_specs=[
+                pl.BlockSpec((tf, self.stride), lambda fi: (fi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((32, self.stride),
+                             lambda fi, _t=tf_blocks: ((fi + 1) * _t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((self.jp, 2 * self.g), lambda fi: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((self.jp, 2 * self.g), lambda fi: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tf, 1), lambda fi: (fi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tf, 1), lambda fi: (fi, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tf, self.g), lambda fi: (fi, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=self.interpret,
+        )
+        fn = call
+        for _ in batch:
+            fn = jax.vmap(fn, in_axes=(0, 0, None, None, 0, 0))
+        out = fn(rows, rows, jnp.asarray(self._w_hi),
+                 jnp.asarray(self._w_lo), pi_arr, pq_arr)
+        demod = out.reshape(batch + (nbf * tf * self.g,))[..., :n_out]
+        new_prev = self._boundary_sample(xf, n_out - 1)
+        return demod, new_tail, new_prev[..., 0], new_prev[..., 1]
