@@ -1,0 +1,96 @@
+"""One-command diagnostic sheet for a capture: ``python -m
+real_time_sdr_tpu.viz <mode> [capture.raw] --out data/viz``.
+
+Runs the capture (or, with no file, a synthesized stereo+RDS station)
+through the receiver once and renders every figure the reference produces
+across three separate workflows — PSD panels per stage (model/fmMonoBlock.py
+in-lab figure), the PSD-over-time animation (model/fmMonoAnim.py) as a
+waterfall, and the gnuplot RDS eye overlay (data/example.gnuplot:14-22) as
+an eye diagram + symbol constellation — so "debugging a bad channel" is one
+command instead of hand-plotting ``logVector`` dumps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m real_time_sdr_tpu.viz",
+        description="Render the diagnostic figure sheet for an IQ capture.")
+    ap.add_argument("mode", type=int, choices=(0, 1, 2, 3))
+    ap.add_argument("capture", nargs="?", default=None,
+                    help="raw interleaved uint8 IQ; omit for a synthetic "
+                         "stereo+RDS demo station")
+    ap.add_argument("--out", default="data/viz", help="output directory")
+    ap.add_argument("--blocks", type=int, default=24,
+                    help="number of blocks to analyze (from the start)")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from real_time_sdr_tpu.config import mode_config
+    from real_time_sdr_tpu.models.receiver import Receiver
+    from real_time_sdr_tpu.utils import viz
+
+    cfg = mode_config(args.mode)
+    blk = 2 * cfg.block_size_iq
+    if args.capture:
+        iq = np.fromfile(args.capture, dtype=np.uint8)
+        nb = min(args.blocks, len(iq) // blk)
+        if nb == 0:
+            print("capture shorter than one block", file=sys.stderr)
+            return 1
+        iq = iq[: nb * blk]
+    else:
+        from real_time_sdr_tpu.utils.synth import station_iq
+        iq, _ = station_iq(cfg, args.blocks, ps_name="VIZ-DEMO")
+        nb = args.blocks
+
+    rx = Receiver(cfg, stereo=True, rds=True, pll_tier=1)
+    state = rx.init_state()
+    demod, _ = rx.frontend(jnp.asarray(iq), state.frontend)
+    _, out = rx.run_segment(state, jnp.asarray(iq))
+    demod = np.asarray(demod)
+    left = np.asarray(out.left).ravel()
+    right = np.asarray(out.right).ravel()
+    clean = np.asarray(out.rds_clean).ravel()
+    from real_time_sdr_tpu.ops.rds_bits import cdr_offset
+    off = int(cdr_offset(jnp.asarray(clean[len(clean) // 2:]), cfg.sps))
+
+    os.makedirs(args.out, exist_ok=True)
+    p = lambda n: os.path.join(args.out, n)
+    iq_f = (iq.astype(np.float32) - 128.0) / 128.0
+    written = [
+        viz.psd_figure(p("psd_stages.png"), [
+            (iq_f[0::2][: 40 * 512], cfg.rf_fs, 0.7, "Raw I (uint8 in)"),
+            (demod, cfg.if_fs, 1.0, "FM demod (IF)"),
+            (left, float(cfg.audio_fs), 1.0, "Audio L"),
+            (right, float(cfg.audio_fs), 1.0, "Audio R"),
+        ]),
+        viz.waterfall(p("waterfall.png"), demod, cfg.if_fs,
+                      title="FM demod PSD over time"),
+        viz.eye_diagram(p("rds_eye.png"), clean[len(clean) // 2 + off:],
+                        cfg.sps),
+        viz.constellation(p("rds_constellation.png"),
+                          clean[len(clean) // 2:], cfg.sps, offset=off),
+        viz.write_gnuplot_overlay(args.out, ["rds_clean"], title="rds_eye"),
+    ]
+    from real_time_sdr_tpu.utils.logging import log_vector
+    log_vector("rds_clean", clean[: 4000], out_dir=args.out)
+    for w in written:
+        print(w)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
