@@ -25,11 +25,14 @@ so all window slices are lane-aligned. The uint8->float normalization
 complement — XLA fuses the xor into the layout pass), the /128 folds into
 the weights, and int8 values are exact in bfloat16.
 
-The demodulator needs each output's predecessor; rather than a sequential
-carry between grid steps (which would break vmap batching and grid
-parallelism), every frame's boundary sample is a tiny host-side dot over
-its boundary byte window (one vectorized einsum for all frames), passed in
-as two (frames, 1) columns and lane-concatenated with the in-frame shift.
+The demodulator needs each output's predecessor. In-frame predecessors are
+a lane shift; across frames within a tile, the previous frame's last
+column is extracted by a selector matmul (lane offset 0 — Mosaic cannot
+sublane-concat a lane-offset slice) and sublane-shifted; only each TILE's
+first frame takes an external boundary value, computed host-side as nbf
+tiny dots over boundary byte windows (a per-TILE, not per-frame, cost —
+there is still no sequential carry between grid steps, so vmap batching
+and grid parallelism survive).
 """
 
 from __future__ import annotations
@@ -64,11 +67,26 @@ def _kernel(a_ref, b_ref, whi_ref, wlo_ref, pi_ref, pq_ref, o_ref, *,
     y = (jnp.dot(frames, whi_ref[:], preferred_element_type=jnp.float32)
          + jnp.dot(frames, wlo_ref[:], preferred_element_type=jnp.float32))
     i_sig, q_sig = y[:, :g], y[:, g:2 * g]
-    # predecessor of in-frame column r is column r-1; column 0's predecessor
-    # (every frame's boundary sample) arrives precomputed — a pure lane
-    # concat, no sublane shifts (Mosaic rejects offset-mismatched ones)
-    ip = jnp.concatenate([pi_ref[:], i_sig[:, :g - 1]], axis=-1)
-    qp = jnp.concatenate([pq_ref[:], q_sig[:, :g - 1]], axis=-1)
+    # predecessor of in-frame column r is column r-1; column 0's
+    # predecessor is the previous FRAME's last column — a sublane shift of
+    # column g-1, with the tile's first frame seeded from the precomputed
+    # per-tile boundary sample (pi/pq, (1, 1))
+    fi = pl.program_id(0)
+    pv_i = pi_ref[pl.dslice(fi, 1), :]     # (1, 1) from the (nbf, 1) table
+    pv_q = pq_ref[pl.dslice(fi, 1), :]
+    # last column extracted by a selector matmul, NOT a lane slice: a
+    # lane-offset-63 slice cannot be sublane-concatenated with an
+    # offset-0 vector (Mosaic: "offset mismatch on non-concat dimension"),
+    # but a matmul result always lands at lane offset 0
+    row = jax.lax.broadcasted_iota(jnp.int32, (2 * g, 1), 0)
+    sel_i = (row == g - 1).astype(jnp.float32)
+    sel_q = (row == 2 * g - 1).astype(jnp.float32)
+    last_i = jnp.dot(y, sel_i, preferred_element_type=jnp.float32)
+    last_q = jnp.dot(y, sel_q, preferred_element_type=jnp.float32)
+    ip0 = jnp.concatenate([pv_i, last_i[:-1]], axis=0)
+    qp0 = jnp.concatenate([pv_q, last_q[:-1]], axis=0)
+    ip = jnp.concatenate([ip0, i_sig[:, :g - 1]], axis=-1)
+    qp = jnp.concatenate([qp0, q_sig[:, :g - 1]], axis=-1)
     num = i_sig * (q_sig - qp) - q_sig * (i_sig - ip)
     den = i_sig * i_sig + q_sig * q_sig
     zero = (i_sig == 0.0) & (q_sig == 0.0)
@@ -172,20 +190,24 @@ class FusedFrontendFIR:
         xf = jnp.pad(xi, [(0, 0)] * (xi.ndim - 1) + [(0, pad)])
         rows = xf.reshape(xf.shape[:-1] + (rows_total, self.stride))
 
-        # every frame's first output needs its predecessor (the previous
-        # frame's last I/Q): tiny f32 dots over the boundary byte windows,
-        # one vectorized einsum for all frames; frame 0 uses the carried
-        # (prev_i, prev_q) state
-        nf = nbf * tf
-        dprime = self.dprime
+        # only each TILE's first frame needs an external predecessor (the
+        # previous tile's last output); in-tile predecessors are a sublane
+        # shift inside the kernel. nbf-1 tiny f32 dots over the boundary
+        # byte windows (one small gather+einsum — nbf ~ n_out/8192, three
+        # orders of magnitude less traffic than per-frame windows); tile 0
+        # uses the carried (prev_i, prev_q) state
         k2 = 2 * self.num_taps
-        wa = rows[..., 0:nf - 1, self.stride - dprime:self.stride]
-        wb = rows[..., 1:nf, 0:k2 - dprime]
-        wins = jnp.concatenate([wa, wb], axis=-1).astype(jnp.float32)
-        bnd = jnp.einsum("...fj,jr->...fr", wins, jnp.asarray(self._v),
-                         precision=jax.lax.Precision.HIGHEST)
-        first = jnp.stack([prev_i, prev_q], axis=-1)[..., None, :]
-        bnd = jnp.concatenate([first, bnd], axis=-2)     # (..., nf, 2)
+        if nbf > 1:
+            m_bnd = (np.arange(1, nbf) * tf * self.g - 1)
+            idx = (2 * m_bnd * self.down)[:, None] + np.arange(k2)[None, :]
+            wins = jnp.take(xf, jnp.asarray(idx), axis=-1).astype(
+                jnp.float32)
+            bnd = jnp.einsum("...fj,jr->...fr", wins, jnp.asarray(self._v),
+                             precision=jax.lax.Precision.HIGHEST)
+            first = jnp.stack([prev_i, prev_q], axis=-1)[..., None, :]
+            bnd = jnp.concatenate([first, bnd], axis=-2)  # (..., nbf, 2)
+        else:
+            bnd = jnp.stack([prev_i, prev_q], axis=-1)[..., None, :]
         pi_arr = bnd[..., 0:1]
         pq_arr = bnd[..., 1:2]
 
@@ -208,9 +230,9 @@ class FusedFrontendFIR:
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((self.jp, 2 * self.g), lambda fi: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((tf, 1), lambda fi: (fi, 0),
+                pl.BlockSpec((nbf, 1), lambda fi: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((tf, 1), lambda fi: (fi, 0),
+                pl.BlockSpec((nbf, 1), lambda fi: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((tf, self.g), lambda fi: (fi, 0),
