@@ -143,8 +143,9 @@ def main() -> None:
     if args.channels is not None or args.blocks is not None:
         rungs = [(args.channels or 128, args.blocks or 48)]
     else:
-        # smallest first: rung 0 exists to guarantee a number
-        rungs = [(16, 12), (128, 24), (128, 48)]
+        # smallest first: rung 0 exists to guarantee a number; (32, 12) is
+        # the measured throughput-optimal shape (BENCH_NOTES.md sweep)
+        rungs = [(16, 12), (32, 12), (128, 24), (128, 48)]
 
     # One synth segment covering the largest rung; channels get distinct
     # time shifts of it.
