@@ -28,6 +28,10 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default="data/viz", help="output directory")
     ap.add_argument("--blocks", type=int, default=24,
                     help="number of blocks to analyze (from the start)")
+    ap.add_argument("--alt", action="store_true",
+                    help="also run the alternative RDS receiver "
+                         "(models/rds_alt) and render its Costas frequency "
+                         "track + complex constellation")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args(argv)
 
@@ -87,6 +91,31 @@ def main(argv=None) -> int:
     ]
     from real_time_sdr_tpu.utils.logging import log_vector
     log_vector("rds_clean", clean[: 4000], out_dir=args.out)
+
+    if args.alt:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from real_time_sdr_tpu.models.rds_alt import AltRdsReceiver
+        dec, diag = AltRdsReceiver(cfg).decode(iq)
+        fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(10, 4))
+        ax1.plot(diag.freq_log, lw=0.9)
+        ax1.set_xlabel("Bit index"); ax1.set_ylabel("Freq estimate (Hz)")
+        ax1.set_title("Costas frequency track"); ax1.grid(alpha=0.4)
+        d = diag.derotated[200:]
+        ax2.scatter(d.real, d.imag, s=4, alpha=0.35, color="#aa0000")
+        ax2.axhline(0, color="k", lw=0.5); ax2.axvline(0, color="k", lw=0.5)
+        ax2.set_xlabel("Re"); ax2.set_ylabel("Im"); ax2.grid(alpha=0.4)
+        ax2.set_title(f"Alt-path constellation "
+                      f"(PS={dec.events.ps_name!r})")
+        fig.tight_layout()
+        fig.savefig(p("alt_rds.png"), dpi=110)
+        plt.close(fig)
+        written.append(p("alt_rds.png"))
+        print(f"alt path: PS={dec.events.ps_name!r} "
+              f"groups={dec.events.groups_decoded}", file=sys.stderr)
+
     for w in written:
         print(w)
     return 0

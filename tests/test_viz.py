@@ -40,10 +40,10 @@ def test_viz_driver_synthetic(tmp_path):
                PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
     r = subprocess.run(
         [sys.executable, "-m", "real_time_sdr_tpu.viz", "0", "--cpu",
-         "--blocks", "8", "--out", str(tmp_path)],
+         "--blocks", "8", "--alt", "--out", str(tmp_path)],
         env=env, capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
     for name in ("psd_stages.png", "waterfall.png", "rds_eye.png",
                  "rds_constellation.png", "rds_eye.gnuplot",
-                 "rds_clean.dat"):
+                 "rds_clean.dat", "alt_rds.png"):
         assert (tmp_path / name).exists(), name
