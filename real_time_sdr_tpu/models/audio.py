@@ -54,8 +54,11 @@ class MonoPath:
 
 
 class StereoState(NamedTuple):
+    # one tail serves BOTH the pilot and stereo band BPFs: they read the
+    # same input history through the shared frame matrix
+    # (ops.fir.shared_frames_apply), so a separate band_tail would be a
+    # byte-for-byte duplicate
     pilot_tail: jax.Array
-    band_tail: jax.Array
     delay_tail: jax.Array
     mono_tail: jax.Array
     stereo_tail: jax.Array
@@ -95,7 +98,7 @@ class StereoPath:
         t = lambda n: jnp.zeros(batch + (n,), jnp.float32)
         k = state_len(self.cfg.rf_taps)
         return StereoState(
-            pilot_tail=t(k), band_tail=t(k), delay_tail=t(k),
+            pilot_tail=t(k), delay_tail=t(k),
             mono_tail=t(self.mono_fir.tail_len),
             stereo_tail=t(self.stereo_fir.tail_len),
             pll=(self._sync.init(batch) if self._sync is not None
@@ -107,11 +110,9 @@ class StereoPath:
         so the stereo and RDS band filters ride one MXU pass."""
         if shared is not None:
             pilot, band, pilot_tail = shared
-            band_tail = pilot_tail
         else:
             (pilot, band), pilot_tail = shared_frames_apply(
                 [self.pilot_fir, self.band_fir], demod, state.pilot_tail)
-            band_tail = pilot_tail
         carrier, pll = self._pll(jax.lax.optimization_barrier(pilot),
                                  state.pll, self.pll_params)
         carrier = jax.lax.optimization_barrier(carrier)
@@ -121,6 +122,6 @@ class StereoPath:
         sub, stereo_tail = self.stereo_fir(stereo_dc, state.stereo_tail)
         left = mono + sub
         right = mono - sub
-        new_state = StereoState(pilot_tail, band_tail, delay_tail,
+        new_state = StereoState(pilot_tail, delay_tail,
                                 mono_tail, stereo_tail, pll)
         return (left, right), new_state

@@ -53,7 +53,10 @@ class Frontend:
         h_rf = filters.design_lpf(cfg.rf_fs, cfg.rf_fc, cfg.rf_taps)
         impl = impl or os.environ.get("RTSDR_FRONTEND", "auto")
         if impl == "auto":
-            impl = ("pallas" if jax.default_backend() not in ("cpu",)
+            # Mosaic kernels need a real TPU backend ("axon" is the
+            # tunneled TPU platform); any other accelerator (gpu, plugin)
+            # must take the portable XLA path, not fail at lowering
+            impl = ("pallas" if jax.default_backend() in ("tpu", "axon")
                     else "xla")
         self.impl = impl
         if impl == "pallas" or impl == "pallas_interpret":

@@ -58,6 +58,9 @@ class RdsPath:
                  timing: str = "comb"):
         assert timing in ("comb", "tracked")
         self.timing = timing
+        # set False (before first trace) to skip bit emission — the DSP
+        # half still runs; see _decode_one
+        self.emit_bits = True
         self.cfg = cfg
         fs_if = cfg.if_fs
         up, down = cfg.rds_resample
@@ -106,6 +109,13 @@ class RdsPath:
         gate (src/rds.cpp:135): before warm-up the decoder does not run at
         all, so the carried bit state holds."""
         cfg = self.cfg
+        if not self.emit_bits:
+            # DSP-only mode (parallel/time_shard runs ONE global decode
+            # scan over the gathered exact RRC stream): emit constants so
+            # XLA dead-code-eliminates the per-shard slicer entirely
+            bits = jnp.zeros(clean.shape[:-1] + (cfg.max_bits,), jnp.int32)
+            n_bits = jnp.zeros(clean.shape[:-1], jnp.int32)
+            return bits, n_bits, bit_state, track
         if self.timing == "tracked":
             bits, n_bits, new_bits, new_track = decode_block_bits_tracked(
                 clean, bit_state, track, cfg.sps, cfg.max_symbols,

@@ -93,11 +93,22 @@ class AltRdsReceiver:
     def _device_chain(self, demod: jax.Array):
         cfg = self.cfg
         n = demod.shape[-1]
-        # complex mix: x * exp(-j 2 pi 57k t) (pySDRRDS.py:18-23); the
-        # LPF+resample runs as ONE polyphase matmul on the stacked (re, im)
-        # pair — one frame matrix serves both rails
-        t = jnp.arange(n, dtype=jnp.float32) / jnp.float32(cfg.if_fs)
-        ang = jnp.float32(-2.0 * np.pi * RDS_CARRIER) * t
+        # complex mix: x * exp(-j 2 pi 57k t) (pySDRRDS.py:18-23). The
+        # mixer phase is generated EXACTLY via the rational ratio
+        # 57000/if_fs = num/den (den <= 128 for all modes): float32
+        # absolute phase (2*pi*57000*t) has ~0.25 rad ulp already at
+        # t = 10 s and is pure noise beyond a minute — precisely the
+        # capture lengths this offline model advertises. Integer
+        # (num*k) mod den never leaves [0, den), so cos/sin stay exact
+        # for any capture length (same trick as ops.pll.trig_angle).
+        # LPF+resample then runs as ONE polyphase matmul on the stacked
+        # (re, im) pair — one frame matrix serves both rails.
+        import math
+        g = math.gcd(int(RDS_CARRIER), cfg.if_fs)
+        num, den = int(RDS_CARRIER) // g, cfg.if_fs // g
+        k = jnp.arange(n, dtype=jnp.int32) % den  # exact below 2^31 samples
+        frac = (num * k) % den
+        ang = jnp.float32(-2.0 * np.pi / den) * frac.astype(jnp.float32)
         mixed = jnp.stack([demod * jnp.cos(ang), demod * jnp.sin(ang)])
         tail = init_state(self.bb_fir.num_taps, self.bb_fir.up, batch=(2,))
         bb_ri, _ = self.bb_fir(mixed, tail)

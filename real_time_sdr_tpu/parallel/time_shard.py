@@ -87,6 +87,31 @@ def time_sharded_run(rx: Receiver, mesh: Mesh, blocks: jax.Array,
         state, outs = rx.run_blocks(rx.init_state(), blocks)
         return outs
 
+    # The whole exact pipeline (sharded DSP + sign chain + global decode)
+    # is built ONCE per (mesh, geometry) and jitted — a fresh jax.jit per
+    # call would re-trace and re-compile the B-block decode scan every
+    # invocation. The DSP pass runs on a twin receiver whose RDS path
+    # skips bit emission (rds.emit_bits=False): the per-shard slicer would
+    # otherwise run on every device only to be discarded and recomputed by
+    # the global decode; as a constant output it is dead code to XLA.
+    cache = rx.__dict__.setdefault("_time_shard_cache", {})
+    key = (mesh, axis, overlap, blocks.shape, str(blocks.dtype))
+    fn = cache.get(key)
+    if fn is None:
+        fn = _build_exact_pipeline(rx, mesh, axis, overlap, t)
+        cache[key] = fn
+    return fn(blocks)
+
+
+def _build_exact_pipeline(rx: Receiver, mesh: Mesh, axis: str,
+                          overlap: int, t: int):
+    if rx.rds_path is not None:
+        dsp_rx = Receiver(rx.cfg, stereo=rx.stereo, rds=True, pll_tier=3,
+                          rds_timing=rx.rds_path.timing,
+                          frontend_impl=rx.frontend.impl)
+        dsp_rx.rds_path.emit_bits = False
+    else:
+        dsp_rx = rx
     perm = [(i, (i + 1) % t) for i in range(t)]
 
     @functools.partial(
@@ -95,8 +120,8 @@ def time_sharded_run(rx: Receiver, mesh: Mesh, blocks: jax.Array,
     def run_dsp(local_blocks):
         halo = jax.lax.ppermute(local_blocks[-overlap:], axis, perm=perm)
         my_id = jax.lax.axis_index(axis)
-        init = rx.init_state()
-        warm, _ = rx.run_blocks(init, halo)
+        init = dsp_rx.init_state()
+        warm, _ = dsp_rx.run_blocks(init, halo)
         # Shard 0 is the true stream head: it keeps the initial state and is
         # therefore IDENTICAL to the sequential receiver from sample 0.
         state0 = jax.tree_util.tree_map(
@@ -106,37 +131,17 @@ def time_sharded_run(rx: Receiver, mesh: Mesh, blocks: jax.Array,
             # Total carrier phase (nominal ramp + residual) mod 4*pi at the
             # carried sample. The residual alone is NOT comparable across
             # shards: each shard's residual absorbs its local ramp offset.
-            if rx.rds_path is None:
+            if dsp_rx.rds_path is None:
                 return jnp.float32(0.0)
-            p = rx.rds_path.pll_params
+            p = dsp_rx.rds_path.pll_params
             c = st.rds.pll
             return jnp.mod(p.trig_angle(c.trig) + c.resid, 2.0 * _TWO_PI)
 
-        final, outs = rx.run_blocks(state0, local_blocks)
+        final, outs = dsp_rx.run_blocks(state0, local_blocks)
         # boundary phase levels: [after-warm-up, end-of-segment]
         levels = jnp.stack([level(state0), level(final)])[None]  # (1, 2)
         return outs, levels
 
-    outs, levels = run_dsp(blocks)
-    if rx.rds_path is None:
-        return outs
-
-    # -- per-shard RDS carrier sign, chained across boundaries --------------
-    # Shard k+1's level at its warm-up end and shard k's level at its
-    # segment end describe the SAME boundary sample; both are wrapped mod
-    # 4*pi and agree mod 2*pi, so their difference is (near) an integer
-    # multiple of 2*pi whose parity is k's relative carrier sign.
-    starts = levels[1:, 0]
-    ends = levels[:-1, 1]
-    m = jnp.round((starts - ends) / _TWO_PI).astype(jnp.int32)
-    parity = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                              jnp.cumsum(m) % 2])
-    sign = jnp.where(parity == 0, 1.0, -1.0).astype(jnp.float32)  # (t,)
-    nb_local = b // t
-    sign_blocks = jnp.repeat(sign, nb_local)  # (B,)
-    clean = outs.rds_clean * sign_blocks[:, None]
-
-    # -- sequential decode over the gathered exact RRC stream ---------------
     rds = rx.rds_path
 
     def decode(clean_blocks):
@@ -151,8 +156,34 @@ def time_sharded_run(rx: Receiver, mesh: Mesh, blocks: jax.Array,
         _, (bits, n_bits) = jax.lax.scan(body, carry0, clean_blocks)
         return bits, n_bits
 
-    bits, n_bits = jax.jit(decode)(clean)
-    return outs._replace(rds_bits=bits, rds_nbits=n_bits, rds_clean=clean)
+    @jax.jit
+    def pipeline(blocks):
+        outs, levels = run_dsp(blocks)
+        if rds is None:
+            return outs
+
+        # -- per-shard RDS carrier sign, chained across boundaries ----------
+        # Shard k+1's level at its warm-up end and shard k's level at its
+        # segment end describe the SAME boundary sample; both are wrapped
+        # mod 4*pi and agree mod 2*pi, so their difference is (near) an
+        # integer multiple of 2*pi whose parity is k's relative carrier
+        # sign.
+        starts = levels[1:, 0]
+        ends = levels[:-1, 1]
+        m = jnp.round((starts - ends) / _TWO_PI).astype(jnp.int32)
+        parity = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                  jnp.cumsum(m) % 2])
+        sign = jnp.where(parity == 0, 1.0, -1.0).astype(jnp.float32)  # (t,)
+        nb_local = blocks.shape[0] // t
+        sign_blocks = jnp.repeat(sign, nb_local)  # (B,)
+        clean = outs.rds_clean * sign_blocks[:, None]
+
+        # -- sequential decode over the gathered exact RRC stream -----------
+        bits, n_bits = decode(clean)
+        return outs._replace(rds_bits=bits, rds_nbits=n_bits,
+                             rds_clean=clean)
+
+    return pipeline
 
 
 def _approx_run(rx: Receiver, mesh: Mesh, blocks: jax.Array, axis: str,

@@ -36,7 +36,16 @@ def _load():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(os.path.dirname(_LIB_PATH), "io_runtime.cpp")
+    stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+    if stale:
+        # never load a stale binary: an ABI older than the ctypes
+        # signatures below (e.g. a void push compiled before it returned
+        # int) yields undefined return registers, not errors
+        if not build():
+            return None
+    elif not os.path.exists(_LIB_PATH):
         if not build():
             return None
     try:

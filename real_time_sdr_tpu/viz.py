@@ -62,7 +62,11 @@ def main(argv=None) -> int:
 
     rx = Receiver(cfg, stereo=True, rds=True, pll_tier=1)
     state = rx.init_state()
-    demod, _ = rx.frontend(jnp.asarray(iq), state.frontend)
+    # the PSD panels/waterfall only need a prefix of the demod signal
+    # (512-point Bartlett segments) — don't pay a second full frontend
+    # pass over the whole capture on top of run_segment's
+    nb_psd = min(nb, 8)
+    demod, _ = rx.frontend(jnp.asarray(iq[: nb_psd * blk]), state.frontend)
     _, out = rx.run_segment(state, jnp.asarray(iq))
     demod = np.asarray(demod)
     left = np.asarray(out.left).ravel()
