@@ -17,8 +17,7 @@ import jax.numpy as jnp
 from real_time_sdr_tpu import config as C
 from real_time_sdr_tpu.config import ReceiverConfig
 from real_time_sdr_tpu.ops import filters
-from real_time_sdr_tpu.ops.fir import (PolyFIR, shared_frames_apply,
-                                       state_len)
+from real_time_sdr_tpu.ops.fir import PolyFIR, make_bank, state_len
 from real_time_sdr_tpu.ops.pll import (PllCarry, PllParams, pll_init,
                                        pll_newton, pll_scan)
 from real_time_sdr_tpu.ops.sync import FeedforwardSync
@@ -43,13 +42,14 @@ class MonoPath:
     def __init__(self, cfg: ReceiverConfig):
         self.cfg = cfg
         self.audio_fir = _audio_bank(cfg)
+        self._audio_bank = make_bank([self.audio_fir], site="audio")
 
     def init_state(self, batch: tuple = ()) -> MonoState:
         return MonoState(jnp.zeros(batch + (self.audio_fir.tail_len,),
                                    jnp.float32))
 
     def __call__(self, demod: jax.Array, state: MonoState):
-        audio, tail = self.audio_fir(demod, state.audio_tail)
+        (audio,), tail = self._audio_bank(demod, state.audio_tail)
         return audio, MonoState(tail)
 
 
@@ -84,6 +84,15 @@ class StereoPath:
         self.delay_fir = PolyFIR(filters.design_apf(cfg.rf_taps))
         self.mono_fir = _audio_bank(cfg)
         self.stereo_fir = _audio_bank(cfg)
+        self._pb_bank = make_bank([self.pilot_fir, self.band_fir],
+                                  site="if")
+        # mono_fir and stereo_fir are the SAME tap bank on different inputs:
+        # with the Pallas backend, stack the two streams into a batch axis
+        # and resample both with one kernel call (frames per rail, single
+        # dispatch); the XLA backend keeps two 2-D calls (see __call__)
+        from real_time_sdr_tpu.ops.fir import _XlaBank
+        self._resamp_bank = make_bank([self.mono_fir], site="audio")
+        self._stack_rails = not isinstance(self._resamp_bank, _XlaBank)
         self.pll_params = PllParams(freq=int(C.PILOT_FREQ), fs=fs_if,
                                     nco_scale=2.0, phase_adjust=0.0,
                                     norm_bw=C.PLL_BW_STEREO)
@@ -111,15 +120,28 @@ class StereoPath:
         if shared is not None:
             pilot, band, pilot_tail = shared
         else:
-            (pilot, band), pilot_tail = shared_frames_apply(
-                [self.pilot_fir, self.band_fir], demod, state.pilot_tail)
+            (pilot, band), pilot_tail = self._pb_bank(demod,
+                                                      state.pilot_tail)
         carrier, pll = self._pll(jax.lax.optimization_barrier(pilot),
                                  state.pll, self.pll_params)
         carrier = jax.lax.optimization_barrier(carrier)
         stereo_dc = 2.0 * band * carrier
         mono_delay, delay_tail = self.delay_fir(demod, state.delay_tail)
-        mono, mono_tail = self.mono_fir(mono_delay, state.mono_tail)
-        sub, stereo_tail = self.stereo_fir(stereo_dc, state.stereo_tail)
+        if self._stack_rails:
+            # Pallas bank: both rails through ONE kernel call (the batch
+            # axis lifts into the grid — single dispatch, frames in VMEM)
+            rails = jnp.stack([mono_delay, stereo_dc], axis=-2)
+            tails = jnp.stack([state.mono_tail, state.stereo_tail], axis=-2)
+            (ys,), new_tails = self._resamp_bank(rails, tails)
+            mono, sub = ys[..., 0, :], ys[..., 1, :]
+            mono_tail = new_tails[..., 0, :]
+            stereo_tail = new_tails[..., 1, :]
+        else:
+            # XLA path: keep the rails as separate 2-D stages — a stacked
+            # 3-D frame construction sends XLA's fusion search into the
+            # known compile-time explosion (see ops.fir barrier note)
+            mono, mono_tail = self.mono_fir(mono_delay, state.mono_tail)
+            sub, stereo_tail = self.stereo_fir(stereo_dc, state.stereo_tail)
         left = mono + sub
         right = mono - sub
         new_state = StereoState(pilot_tail, delay_tail,

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from real_time_sdr_tpu import config as C
 from real_time_sdr_tpu.config import ReceiverConfig
 from real_time_sdr_tpu.ops import filters
-from real_time_sdr_tpu.ops.fir import PolyFIR, state_len
+from real_time_sdr_tpu.ops.fir import PolyFIR, make_bank, state_len
 from real_time_sdr_tpu.ops.pll import (PllCarry, PllParams, pll_init,
                                        pll_newton, pll_scan)
 from real_time_sdr_tpu.ops.rds_bits import (BitSyncState, TimingTrack,
@@ -79,6 +79,10 @@ class RdsPath:
             filters.design_rrc(cfg.rds_fs, cfg.rf_taps,
                                symbol_rate=C.RDS_SYMBOL_RATE,
                                beta=C.RDS_RRC_BETA))
+        self._band_bank = make_bank([self.band_fir], site="if")
+        self._pilot_bank = make_bank([self.pilot_fir], site="if")
+        self._baseband_bank = make_bank([self.baseband_fir], site="rds_bb")
+        self._rrc_bank = make_bank([self.rrc_fir], site="rds_rrc")
         self.pll_params = PllParams(freq=int(C.RDS_PILOT_FREQ), fs=fs_if,
                                     nco_scale=0.5, phase_adjust=0.0,
                                     norm_bw=C.PLL_BW_RDS)
@@ -149,9 +153,9 @@ class RdsPath:
         if band_pre is not None:
             band, band_tail = band_pre
         else:
-            band, band_tail = self.band_fir(demod, state.band_tail)
+            (band,), band_tail = self._band_bank(demod, state.band_tail)
         squared = band * band
-        pilot, pilot_tail = self.pilot_fir(squared, state.pilot_tail)
+        (pilot,), pilot_tail = self._pilot_bank(squared, state.pilot_tail)
         carrier, pll = self._pll(jax.lax.optimization_barrier(pilot),
                                  state.pll, self.pll_params)
         carrier = jax.lax.optimization_barrier(carrier)
@@ -159,9 +163,9 @@ class RdsPath:
         mixed = 2.0 * delayed * carrier
 
         if nb == 1:
-            filt, baseband_tail = self.baseband_fir(mixed,
-                                                    state.baseband_tail)
-            clean, rrc_tail = self.rrc_fir(filt, state.rrc_tail)
+            (filt,), baseband_tail = self._baseband_bank(
+                mixed, state.baseband_tail)
+            (clean,), rrc_tail = self._rrc_bank(filt, state.rrc_tail)
             bits, n_bits, bit_state, track = self._decode_one(
                 clean, state.bits, state.track, state.block_count)
             new_state = RdsState(band_tail, pilot_tail, delay_tail,
@@ -180,11 +184,11 @@ class RdsPath:
             [state.baseband_tail[None],
              mixed_blocks[:-1, cfg.if_block - self.baseband_fir.tail_len:]],
             axis=0)
-        filt, _ = self.baseband_fir(mixed_blocks, bb_tails)  # (nb, rds_block)
+        (filt,), _ = self._baseband_bank(mixed_blocks, bb_tails)
         rrc_tails = jnp.concatenate(
             [state.rrc_tail[None],
              filt[:-1, filt.shape[-1] - self.rrc_fir.tail_len:]], axis=0)
-        clean, _ = self.rrc_fir(filt, rrc_tails)
+        (clean,), _ = self._rrc_bank(filt, rrc_tails)
 
         def body(carry, clean_b):
             bit_state, track, count = carry

@@ -58,6 +58,16 @@ class Receiver:
         self.audio = StereoPath(cfg, pll_tier) if stereo else MonoPath(cfg)
         self.rds_path = (RdsPath(cfg, pll_tier, timing=rds_timing)
                          if rds else None)
+        if stereo and rds:
+            # stereo pilot + stereo band + RDS band BPFs share one frame
+            # matrix and run as ONE matmul (Pallas in-VMEM frames on TPU,
+            # ops.fir.shared_frames_apply elsewhere)
+            from real_time_sdr_tpu.ops.fir import make_bank
+            self._if_bank = make_bank([self.audio.pilot_fir,
+                                       self.audio.band_fir,
+                                       self.rds_path.band_fir], site="if")
+        else:
+            self._if_bank = None
         self._jit_step = jax.jit(self.step)
         self._jit_scan = jax.jit(self.run_blocks)
 
@@ -75,13 +85,9 @@ class Receiver:
         """One block: iq_u8 (..., 2*block_size_iq) uint8."""
         demod, f_state = self.frontend(iq_u8, state.frontend)
         shared = band_pre = None
-        if self.stereo and self.rds_path is not None:
-            # stereo pilot + stereo band + RDS band BPFs share one frame
-            # matrix and run as ONE matmul (ops.fir.shared_frames_apply)
-            from real_time_sdr_tpu.ops.fir import shared_frames_apply
-            (pilot, band_s, band_r), if_tail = shared_frames_apply(
-                [self.audio.pilot_fir, self.audio.band_fir,
-                 self.rds_path.band_fir], demod, state.audio.pilot_tail)
+        if self._if_bank is not None:
+            (pilot, band_s, band_r), if_tail = self._if_bank(
+                demod, state.audio.pilot_tail)
             shared = (pilot, band_s, if_tail)
             band_pre = (band_r, if_tail)
         if self.stereo:

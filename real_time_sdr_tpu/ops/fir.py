@@ -34,12 +34,13 @@ src/filter.cpp:73-78) is detected and lowered to a scaled slice.
 
 from __future__ import annotations
 
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["PolyFIR", "state_len", "init_state"]
+__all__ = ["PolyFIR", "state_len", "init_state", "make_bank"]
 
 
 def state_len(num_taps: int, up: int = 1) -> int:
@@ -203,6 +204,67 @@ def shared_frames_apply(firs: list["PolyFIR"], x: jax.Array,
     new_tail = (xx[..., xx.shape[-1] - f0.tail_len:]
                 if f0.tail_len else xx[..., :0])
     return outs, new_tail
+
+
+class _XlaBank:
+    """XLA-path bank: shared_frames_apply for n>1, plain PolyFIR for n=1."""
+
+    def __init__(self, firs: list["PolyFIR"]):
+        self.firs = firs
+
+    @property
+    def tail_len(self) -> int:
+        return self.firs[0].tail_len
+
+    def __call__(self, x: jax.Array, tail: jax.Array):
+        if len(self.firs) == 1:
+            y, t = self.firs[0](x, tail)
+            return [y], t
+        return shared_frames_apply(self.firs, x, tail)
+
+
+# Measured per-site backend choice on TPU v5e (BENCH_NOTES.md A/B at
+# 32ch x 12blk): the in-graph XLA framed matmuls win at EVERY site — XLA
+# fuses the frame construction into the matmul (no HBM frame matrix), so
+# the Pallas kernel's VMEM frames save nothing while its per-pallas_call
+# dispatch adds up (all-pallas 2604x, if+audio-pallas 2868x, all-xla
+# 3120x). The Pallas bank remains selectable (RTSDR_FIR[_<SITE>]=pallas)
+# as the measured alternative; re-evaluate on new jax/Mosaic releases.
+_SITE_DEFAULT_TPU = {
+    "if": "xla",          # IF band triple / pilot+band pair
+    "audio": "xla",       # audio-rate polyphase resamplers
+    "rds_bb": "xla",      # 247/640 baseband bank (per-block batch)
+    "rds_rrc": "xla",     # RRC matched filter (per-block batch)
+    "sync": "xla",        # tier-3 Hilbert + smoothers
+}
+
+
+def make_bank(firs: list["PolyFIR"], impl: str | None = None,
+              site: str | None = None):
+    """Bind same-geometry FIRs to the best backend for this platform.
+
+    Returns a callable ``(x, tail) -> ([y_0..y_{n-1}], new_tail)`` with the
+    PolyFIR state contract. Selection: explicit ``impl``, else the
+    ``RTSDR_FIR_<SITE>`` env var, else ``RTSDR_FIR``, else a measured
+    per-site default ("pallas" for the large stages on TPU, "xla"
+    elsewhere). Geometries the Pallas kernel cannot tile (stride not
+    lane-aligned, single-tap delays) silently use the XLA path.
+    """
+    if impl is None and site is not None:
+        impl = os.environ.get(f"RTSDR_FIR_{site.upper()}")
+    impl = impl or os.environ.get("RTSDR_FIR", "auto")
+    if impl == "auto":
+        if jax.default_backend() in ("tpu", "axon"):
+            impl = _SITE_DEFAULT_TPU.get(site or "", "pallas")
+        else:
+            impl = "xla"
+    if impl in ("pallas", "pallas_interpret"):
+        from real_time_sdr_tpu.ops.pallas.polyfir import (FramedFIRBank,
+                                                          pallas_supported)
+        if pallas_supported(firs):
+            return FramedFIRBank(firs,
+                                 interpret=(impl == "pallas_interpret"))
+    return _XlaBank(firs)
 
 
 class DualPhaseFIR:

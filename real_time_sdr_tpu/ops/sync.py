@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from real_time_sdr_tpu.ops.fir import PolyFIR
+from real_time_sdr_tpu.ops.fir import PolyFIR, make_bank
 from real_time_sdr_tpu.ops.pll import PllParams
 
 __all__ = ["FeedforwardSync", "FFSyncCarry"]
@@ -88,6 +88,8 @@ class FeedforwardSync:
         w = np.sin(i * np.pi / smooth_taps) ** 2
         self.sm_fir_i = PolyFIR(w / w.sum())
         self.sm_fir_q = PolyFIR(w / w.sum())
+        self._q_bank = make_bank([self.q_fir], site="sync")
+        self._sm_bank = make_bank([self.sm_fir_i], site="sync")
         # Hilbert/delay-line group delay: where the analytic signal "is" at
         # FIR output k. The smoother adds (smooth_taps-1)/2 more delay, but
         # only to the slowly-rotating RESIDUAL (the nominal ramp is removed
@@ -109,7 +111,7 @@ class FeedforwardSync:
         p = p or self.p
         n = x.shape[-1]
         i_sig, i_tail = self.i_fir(x, carry.i_tail)
-        q_sig, q_tail = self.q_fir(x, carry.q_tail)
+        (q_sig,), q_tail = self._q_bank(x, carry.q_tail)
 
         # Rotate the analytic signal down by the exact nominal ramp evaluated
         # at the sample it currently describes: t = trig + k - m.
@@ -125,7 +127,7 @@ class FeedforwardSync:
         # inputs -> frames built once, one matmul)
         zs = jnp.stack([zr, zi], axis=-2)
         tails = jnp.stack([carry.sm_i_tail, carry.sm_q_tail], axis=-2)
-        ys, new_tails = self.sm_fir_i(zs, tails)
+        (ys,), new_tails = self._sm_bank(zs, tails)
         zr, zi = ys[..., 0, :], ys[..., 1, :]
         sm_i_tail, sm_q_tail = new_tails[..., 0, :], new_tails[..., 1, :]
 
