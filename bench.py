@@ -108,6 +108,14 @@ def main() -> None:
                     help="skip the small CPU-subprocess fallback run")
     ap.add_argument("--stats", action="store_true",
                     help="print per-stage speed-of-light accounting to stderr")
+    ap.add_argument("--group", type=int, default=32,
+                    help="serve wide channel batches as sequential groups of "
+                         "this width (the v5e cache-locality optimum; "
+                         "0 = one wide batch)")
+    ap.add_argument("--latency", action="store_true",
+                    help="also measure BLOCK-mode per-step latency vs the "
+                         "real-time deadline (the reference's contract is "
+                         "one block per block-duration, src/Makefile:4-5)")
     args = ap.parse_args()
 
     t_start = time.perf_counter()
@@ -158,7 +166,28 @@ def main() -> None:
                 for o in jax.tree_util.tree_leaves(out)]
         return s2, sum(sums)
 
-    digest_v = jax.jit(jax.vmap(digest_fn))
+    def make_runner(n_ch: int):
+        """jit((C,)-state, (C,)-segs) -> (state, scalar digest).
+
+        Wide batches run as sequential groups of --group channels inside
+        the jit (lax.map): per-sample cost rises ~60% from a 32-wide to a
+        128-wide working set on v5e (BENCH_NOTES.md sweep), so serving
+        C >> 32 is faster group-by-group."""
+        g = args.group
+        if not g or n_ch <= g or n_ch % g:
+            return jax.jit(jax.vmap(digest_fn))
+        G = n_ch // g
+
+        def grouped(state, segs):
+            split = lambda l: l.reshape((G, g) + l.shape[1:])
+            join = lambda l: l.reshape((n_ch,) + l.shape[2:])
+            st_g = jax.tree_util.tree_map(split, state)
+            seg_g = split(segs)
+            s2_g, digs = jax.lax.map(
+                lambda a: jax.vmap(digest_fn)(a[0], a[1]), (st_g, seg_g))
+            return jax.tree_util.tree_map(join, s2_g), jnp.sum(digs)
+
+        return jax.jit(grouped)
 
     def fetch(x):
         return float(np.asarray(x)[()] if np.ndim(x) == 0 else
@@ -179,6 +208,7 @@ def main() -> None:
                                        2 * 997 * c) for c in range(n_ch)])
             segs = jnp.asarray(per_ch)
             state = rx.init_state(batch=(n_ch,))
+            digest_v = make_runner(n_ch)
             # compile + warm up (the digest fetch is the only real sync on
             # the axon platform)
             state2, dig = digest_v(state, segs)
@@ -219,6 +249,35 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - keep earlier rung's number
             print(f"# rung {n_ch}x{n_blk} failed: {e!r}", file=sys.stderr)
             break
+
+    if args.latency and _result is not None and remaining() > 60:
+        # Real-time serving latency: single-block steps (the streaming-mode
+        # graph), chained through carried state. Per-block latency must stay
+        # under the block deadline (block_size_iq / rf_fs, 30.625 ms at
+        # mode 0) for live `rtl_sdr | ... | aplay` operation.
+        try:
+            n_lat = min(c for c, _ in rungs)
+            blk = 2 * cfg.block_size_iq
+            blocks = jnp.asarray(np.stack(
+                [np.roll(iq[:blk], 2 * 997 * c) for c in range(n_lat)]))
+            step_v = jax.jit(jax.vmap(rx.step))
+            st = rx.init_state(batch=(n_lat,))
+            st2, out = step_v(st, blocks)
+            fetch(jax.tree_util.tree_leaves(out)[0])
+            reps = 64
+            t0 = time.perf_counter()
+            s = st
+            for _ in range(reps):
+                s, out = step_v(s, blocks)
+            fetch(jax.tree_util.tree_leaves(out)[0])
+            per_block = (time.perf_counter() - t0) / reps
+            deadline = cfg.block_size_iq / cfg.rf_fs
+            print(f"# block-mode latency ({n_lat} ch): "
+                  f"{per_block*1e3:.2f} ms/block vs {deadline*1e3:.2f} ms "
+                  f"deadline ({deadline/per_block:.0f}x margin)",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"# latency measurement failed: {e!r}", file=sys.stderr)
 
     if args.stats and _result is not None:
         from real_time_sdr_tpu.utils.logging import speed_of_light_report

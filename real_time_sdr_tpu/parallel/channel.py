@@ -29,6 +29,7 @@ class ChannelBank:
         self.n = n_channels
         self.mesh = mesh
         self.axis = axis
+        self._grouped_cache: dict[int, object] = {}
         step_v = jax.vmap(rx.step)
         run_v = jax.vmap(rx.run_blocks, in_axes=(0, 1), out_axes=(0, 1))
         if mesh is not None:
@@ -73,3 +74,36 @@ class ChannelBank:
         """segments: (C, B*2*block_size_iq) uint8 — one fused pass per
         channel (see Receiver.run_segment)."""
         return self._step(state, segments)
+
+    def run_segment_grouped(self, state, segments, group: int = 32):
+        """Segment pass over C channels executed as C/group sequential
+        sub-batches inside ONE jitted graph.
+
+        Measured on v5e the per-sample cost of a segment pass rises ~60%
+        from a 32-wide to a 128-wide channel batch (BENCH_NOTES.md sweep):
+        the working set leaves cache locality and per-byte weight reuse
+        falls. ``lax.map`` over (C/group, group, ...) keeps each resident
+        working set at the throughput-optimal width while XLA still sees a
+        single compiled program. Results are exactly ``run_segment`` (the
+        channels never interact)."""
+        assert self.n % group == 0, (self.n, group)
+        if group >= self.n:
+            return self._step(state, segments)
+        fn = self._grouped_cache.get(group)
+        if fn is None:
+            g = int(group)
+
+            def grouped(state, segments):
+                G = self.n // g
+                split = lambda l: l.reshape((G, g) + l.shape[1:])
+                join = lambda l: l.reshape((self.n,) + l.shape[2:])
+                st_g = jax.tree_util.tree_map(split, state)
+                seg_g = segments.reshape((G, g) + segments.shape[1:])
+                new_st_g, out_g = jax.lax.map(
+                    lambda a: jax.vmap(self.rx.step)(a[0], a[1]),
+                    (st_g, seg_g))
+                return (jax.tree_util.tree_map(join, new_st_g),
+                        jax.tree_util.tree_map(join, out_g))
+
+            fn = self._grouped_cache[group] = jax.jit(grouped)
+        return fn(state, segments)

@@ -49,6 +49,25 @@ def test_channel_bank_distinct_channels():
         assert abs(f - f_expect) < 40
 
 
+def test_channel_bank_grouped_segment_exact():
+    # sequential 32-wide sub-batches (the v5e cache-locality serving shape)
+    # produce bit-identical outputs and final state vs one wide batch
+    rx = Receiver(0, stereo=True, rds=True, pll_tier=3)
+    bank = ChannelBank(rx, n_channels=8)
+    state = bank.init_state()
+    rng = np.random.default_rng(11)
+    seg = jnp.asarray(rng.integers(
+        0, 256, size=(8, 2 * 2 * rx.cfg.block_size_iq), dtype=np.uint8))
+    s1, o1 = bank.run_segment(state, seg)
+    s2, o2 = bank.run_segment_grouped(state, seg, group=4)
+    for a, b in zip(jax.tree_util.tree_leaves(o1),
+                    jax.tree_util.tree_leaves(o2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(s1),
+                    jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_time_sharding_exact_tier3_stereo_rds():
     """Exact mode (all-tier-3): sharded audio matches the sequential
     receiver to float precision and RDS bits are BIT-IDENTICAL — including
