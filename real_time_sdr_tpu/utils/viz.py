@@ -19,8 +19,8 @@ import os
 import numpy as np
 
 __all__ = [
-    "plot_psd", "psd_figure", "waterfall", "eye_diagram", "constellation",
-    "write_gnuplot_overlay",
+    "plot_psd", "psd_figure", "psd_overlay_figure", "waterfall",
+    "eye_diagram", "constellation", "write_gnuplot_overlay",
 ]
 
 
@@ -69,6 +69,52 @@ def psd_figure(path: str, panels) -> str:
         axes = [axes]
     for ax, (samples, fs, height, title) in zip(axes, panels):
         plot_psd(ax, samples, fs, height, title)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return path
+
+
+def snr_db(ref, got) -> float:
+    """SNR of ``got`` against oracle ``ref`` over the common prefix (dB)."""
+    ref = np.asarray(ref, np.float64).ravel()
+    got = np.asarray(got, np.float64).ravel()
+    n = min(len(ref), len(got))
+    ref, got = ref[:n], got[:n]
+    e = np.mean((ref - got) ** 2)
+    return float("inf") if e == 0 else float(
+        10 * np.log10(np.mean(ref ** 2) / max(e, 1e-300)))
+
+
+def psd_overlay_figure(path: str, panels) -> str:
+    """Device-vs-golden PSD overlay, one panel per stage, SNR in the title.
+
+    panels: iterable of (device_samples, golden_samples, fs, height, title).
+    The regression-triage figure: a stage whose device curve departs from
+    the float64 oracle curve is the stage that broke."""
+    plt = _mpl()
+    panels = list(panels)
+    fig, axes = plt.subplots(len(panels), 1,
+                             figsize=(9, 2.6 * len(panels)))
+    if len(panels) == 1:
+        axes = [axes]
+    for ax, (dev, gold, fs, height, title) in zip(axes, panels):
+        f_g, p_g = _psd(gold, fs)
+        f_d, p_d = _psd(dev, fs)
+        ax.plot(f_g / 1e3, p_g, lw=1.6, color="#aa0000", alpha=0.7,
+                label="golden (f64)")
+        ax.plot(f_d / 1e3, p_d, lw=0.8, color="#000088", label="device")
+        x_max, y_max = 1e-3 + fs / 2e3, 10.0
+        y_min = y_max - 100.0 * height
+        ax.set_xlim([0, x_max])
+        ax.set_ylim([y_min, y_max])
+        ax.set_xticks(np.arange(0, x_max, fs / 12e3))
+        ax.set_yticks(np.arange(y_min, y_max, 20.0))
+        ax.grid(which="major", alpha=0.75)
+        ax.legend(loc="upper right", fontsize=8)
+        ax.set_xlabel("Frequency (kHz)")
+        ax.set_ylabel("PSD (dB/Hz)")
+        ax.set_title(f"{title} — SNR {snr_db(gold, dev):.1f} dB")
     fig.tight_layout()
     fig.savefig(path, dpi=110)
     plt.close(fig)

@@ -28,6 +28,10 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default="data/viz", help="output directory")
     ap.add_argument("--blocks", type=int, default=24,
                     help="number of blocks to analyze (from the start)")
+    ap.add_argument("--golden", action="store_true",
+                    help="also run the float64 golden oracle over the same "
+                         "capture and render device-vs-golden PSD overlays "
+                         "with per-stage SNR (regression triage)")
     ap.add_argument("--alt", action="store_true",
                     help="also run the alternative RDS receiver "
                          "(models/rds_alt) and render its Costas frequency "
@@ -95,6 +99,38 @@ def main(argv=None) -> int:
     ]
     from real_time_sdr_tpu.utils.logging import log_vector
     log_vector("rds_clean", clean[: 4000], out_dir=args.out)
+
+    if args.golden:
+        from golden.chain import run_stages
+        from real_time_sdr_tpu.utils.viz import psd_overlay_figure, snr_db
+        # golden oracle over the same prefix the device PSDs use; the
+        # device-side stages come from a block-by-block (nb==1) run so the
+        # per-block resampler truncation matches the oracle exactly
+        n_gold = nb_psd
+        gold = run_stages(cfg, iq[: n_gold * blk])
+        s_dev = rx.init_state()
+        dev = {"left": [], "right": [], "rds_clean": []}
+        for b in range(n_gold):
+            s_dev, ob = rx.jit_step(
+                s_dev, jnp.asarray(iq[b * blk:(b + 1) * blk]))
+            dev["left"].append(np.asarray(ob.left).ravel())
+            dev["right"].append(np.asarray(ob.right).ravel())
+            dev["rds_clean"].append(np.asarray(ob.rds_clean).ravel())
+        dev_left = np.concatenate(dev["left"])
+        dev_right = np.concatenate(dev["right"])
+        dev_clean = np.concatenate(dev["rds_clean"])
+        panels = [
+            (demod, gold["demod"], cfg.if_fs, 1.0, "FM demod (IF)"),
+            (dev_left, gold["left"], float(cfg.audio_fs), 1.0, "Audio L"),
+            (dev_right, gold["right"], float(cfg.audio_fs), 1.0, "Audio R"),
+            (dev_clean, gold["rds_clean"], cfg.rds_fs, 1.0,
+             "RDS RRC output"),
+        ]
+        written.append(
+            psd_overlay_figure(p("psd_golden_overlay.png"), panels))
+        for d, g, _, _, name in panels:
+            print(f"golden SNR {name}: {snr_db(g, d):.1f} dB",
+                  file=sys.stderr)
 
     if args.alt:
         import matplotlib
