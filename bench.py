@@ -112,6 +112,9 @@ def main() -> None:
                     help="serve wide channel batches as sequential groups of "
                          "this width (the v5e cache-locality optimum; "
                          "0 = one wide batch)")
+    ap.add_argument("--tile", type=int, default=12,
+                    help="time-tile long segments into this many blocks per "
+                         "sequential pass (the v5e optimum; 0 = one pass)")
     ap.add_argument("--latency", action="store_true",
                     help="also measure BLOCK-mode per-step latency vs the "
                          "real-time deadline (the reference's contract is "
@@ -161,7 +164,10 @@ def main() -> None:
     iq, _ = synth.station_iq(cfg, max_blocks)
 
     def digest_fn(state, segs):
-        s2, out = rx.run_segment(state, segs)
+        if args.tile:
+            s2, out = rx.run_segment_tiled(state, segs, args.tile)
+        else:
+            s2, out = rx.run_segment(state, segs)
         sums = [jnp.sum(o if o.dtype != jnp.int32 else o.astype(jnp.float32))
                 for o in jax.tree_util.tree_leaves(out)]
         return s2, sum(sums)

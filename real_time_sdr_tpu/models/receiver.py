@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any, NamedTuple
 
 import jax
+import jax.numpy as jnp
 
 from real_time_sdr_tpu.config import ReceiverConfig, mode_config
 from real_time_sdr_tpu.models.audio import MonoPath, StereoPath
@@ -134,3 +135,45 @@ class Receiver:
         output-count truncation stutter.
         """
         return self.step(state, iq_segment)
+
+    def run_segment_tiled(self, state: ReceiverState, iq_segment: jax.Array,
+                          tile_blocks: int = 12):
+        """Long segment as sequential ``tile_blocks``-sized segment passes
+        inside one jitted graph (lax.scan with carried state).
+
+        Per-sample cost of one wide segment pass rises ~40% from 12 to 48
+        blocks on v5e (working set outgrows cache locality — BENCH_NOTES.md
+        sweep), so long captures run faster time-tiled at the optimum.
+        Outputs are reshaped to exactly ``run_segment``'s layout; the
+        carried state chains across tiles, so results equal a single pass
+        up to f32 reduction order.
+        """
+        blk = 2 * self.cfg.block_size_iq
+        n_blocks = iq_segment.shape[-1] // blk
+        if n_blocks <= tile_blocks or n_blocks % tile_blocks:
+            return self.step(state, iq_segment)
+        n_tiles = n_blocks // tile_blocks
+        lead = iq_segment.shape[:-1]
+        tiles = jnp.moveaxis(
+            iq_segment.reshape(lead + (n_tiles, tile_blocks * blk)),
+            -2, 0)  # (n_tiles, ..., tile_blocks*blk)
+        final, outs = jax.lax.scan(self.step, state, tiles)
+
+        def stream(leaf):  # (n_tiles, ..., T) -> (..., n_tiles*T)
+            if leaf is None:
+                return None
+            x = jnp.moveaxis(leaf, 0, -2)
+            return x.reshape(lead + (-1,))
+
+        def blocks(leaf):  # (n_tiles, ..., tile, k) -> (..., n_blocks, k)
+            if leaf is None:
+                return None
+            x = jnp.moveaxis(leaf, 0, -3)
+            return x.reshape(lead + (n_blocks, leaf.shape[-1]))
+
+        out = ReceiverOutput(
+            mono=stream(outs.mono), left=stream(outs.left),
+            right=stream(outs.right), rds_bits=blocks(outs.rds_bits),
+            rds_nbits=stream(outs.rds_nbits),
+            rds_clean=blocks(outs.rds_clean))
+        return final, out

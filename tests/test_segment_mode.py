@@ -47,6 +47,37 @@ def test_segment_equals_blocks_stereo_rds():
     assert framer.events.ps_name == "SEGMENTD"
 
 
+def test_segment_tiled_equals_plain():
+    # time-tiled long segment (scan over 2-block chunks) == one wide pass.
+    # tier 1: the PLL scan is exact per sample, so equality is tight;
+    # tier 3's feedforward slope estimate is per-pass by design, so the
+    # tiled run is gated as steady-state SNR + identical decoded bits.
+    import jax
+
+    nb, tile = 6, 2
+    for tier, exact in [(1, True), (3, False)]:
+        rx = Receiver(0, stereo=True, rds=True, pll_tier=tier)
+        iq, _ = synth.station_iq(rx.cfg, nb, ps_name="TILETEST")
+        seg = jnp.asarray(iq)
+        s0 = rx.init_state()
+        _, o1 = jax.jit(rx.run_segment)(s0, seg)
+        _, o2 = jax.jit(lambda s, x: rx.run_segment_tiled(s, x, tile))(
+            s0, seg)
+        a, b = np.asarray(o1.left), np.asarray(o2.left)
+        assert a.shape == b.shape
+        ab = rx.cfg.audio_block
+        if exact:
+            np.testing.assert_allclose(b[ab:], a[ab:], rtol=2e-4, atol=2e-5)
+        else:
+            err = np.mean((a[ab:] - b[ab:]) ** 2)
+            snr = 10 * np.log10(np.mean(a[ab:] ** 2) / max(err, 1e-30))
+            assert snr > 50, f"tier-3 tiled audio diverges: {snr:.1f} dB"
+        np.testing.assert_array_equal(np.asarray(o1.rds_nbits),
+                                      np.asarray(o2.rds_nbits))
+        np.testing.assert_array_equal(np.asarray(o1.rds_bits),
+                                      np.asarray(o2.rds_bits))
+
+
 def test_segment_state_continuity():
     # two consecutive segments == one double-length segment
     rx = Receiver(0, stereo=False, rds=False, pll_tier=1)
