@@ -19,20 +19,33 @@ import numpy as np
 NFFT = 512  # reference: include/dy4.h:18
 
 
-def estimate_psd(samples: jax.Array, fs: float, nfft: int = NFFT):
+def estimate_psd(samples: jax.Array, fs: float, nfft: int = NFFT,
+                 method: str = "fft"):
     """Returns (freqs (nfft/2,), psd_db (nfft/2,)).
 
     Matches model/fmSupportLib.py:214-289: segments of length nfft, Hann
     window, per-segment |X_k|^2 * (1/(Fs*nfft/2)) * 2, first half of bins,
     averaged, 10*log10.
+
+    method selects the transform from the ops.fourier ladder: "fft"
+    (XLA, default), "matmul" (the O(N^2) DFT as one resident-twiddle MXU
+    matmul over the whole segment batch), or "stockham" (the vectorized
+    radix-2 autosort).
     """
+    from real_time_sdr_tpu.ops import fourier
     n = samples.shape[-1]
     n_seg = n // nfft
     segs = samples[..., : n_seg * nfft].reshape(
         samples.shape[:-1] + (n_seg, nfft))
     i = np.arange(nfft)
     window = np.sin(i * np.pi / nfft) ** 2  # Hann via sin^2
-    spec = jnp.fft.fft(segs * jnp.asarray(window, samples.dtype), axis=-1)
+    windowed = segs * jnp.asarray(window, samples.dtype)
+    if method == "matmul":
+        spec = fourier.dft_matmul(windowed)
+    elif method == "stockham":
+        spec = fourier.fft_stockham(windowed)
+    else:
+        spec = jnp.fft.fft(windowed, axis=-1)
     half = spec[..., : nfft // 2]
     psd = (jnp.abs(half) ** 2) * (2.0 / (fs * nfft / 2.0))
     avg = jnp.mean(psd, axis=-2)

@@ -19,8 +19,19 @@ def test_fft_equivalence_ladder():
     x = synth.random_samples(512, seed=3) + 1j * synth.random_samples(
         512, seed=4)
     ref = fourier.dft_naive(x)
-    got = np.asarray(fourier.fft(jnp.asarray(x.astype(np.complex64))))
-    np.testing.assert_allclose(got, ref, atol=1e-2)
+    xc = jnp.asarray(x.astype(np.complex64))
+    # every rung of the TPU ladder agrees with the float64 oracle:
+    # XLA FFT, the MXU-matmul DFT, and the Stockham autosort radix-2
+    for fn in (fourier.fft, fourier.dft_matmul, fourier.fft_stockham):
+        got = np.asarray(fn(xc))
+        np.testing.assert_allclose(got, ref, atol=1e-2)
+    # real-input batch path (the PSD's shape): matmul == stockham == fft
+    xb = jnp.asarray(np.stack([x.real, x.imag]).astype(np.float32))
+    fref = np.asarray(jnp.fft.fft(xb))
+    np.testing.assert_allclose(np.asarray(fourier.dft_matmul(xb)), fref,
+                               atol=1e-2)
+    np.testing.assert_allclose(np.asarray(fourier.fft_stockham(xb)), fref,
+                               atol=1e-2)
     # IDFT(DFT(x)) ~= x (test/idft_unittest.cpp:50-60)
     back = np.asarray(fourier.idft(fourier.dft(
         jnp.asarray(x.astype(np.complex64)))))
