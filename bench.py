@@ -113,8 +113,10 @@ def main() -> None:
                          "this width (the v5e cache-locality optimum; "
                          "0 = one wide batch)")
     ap.add_argument("--tile", type=int, default=12,
-                    help="time-tile long segments into this many blocks per "
-                         "sequential pass (the v5e optimum; 0 = one pass)")
+                    help="serve long rungs as host-chained segment calls of "
+                         "this many blocks (the v5e optimum; dispatches "
+                         "pipeline asynchronously so chunking costs nothing; "
+                         "0 = one wide in-graph pass)")
     ap.add_argument("--latency", action="store_true",
                     help="also measure BLOCK-mode per-step latency vs the "
                          "real-time deadline (the reference's contract is "
@@ -155,8 +157,11 @@ def main() -> None:
         rungs = [(args.channels or 128, args.blocks or 48)]
     else:
         # smallest first: rung 0 exists to guarantee a number; (32, 12) is
-        # the measured throughput-optimal shape (BENCH_NOTES.md sweep)
-        rungs = [(16, 12), (32, 12), (128, 24), (128, 48)]
+        # the measured throughput-optimal shape (BENCH_NOTES.md sweep).
+        # (128, 12) compiles the grouped serving graph which (128, 48)
+        # then reuses via host chunking — the flagship rung pays no
+        # additional compile.
+        rungs = [(16, 12), (32, 12), (128, 12), (128, 48)]
 
     # One synth segment covering the largest rung; channels get distinct
     # time shifts of it.
@@ -164,36 +169,22 @@ def main() -> None:
     iq, _ = synth.station_iq(cfg, max_blocks)
 
     def digest_fn(state, segs):
-        if args.tile:
-            s2, out = rx.run_segment_tiled(state, segs, args.tile)
-        else:
-            s2, out = rx.run_segment(state, segs)
+        s2, out = rx.run_segment(state, segs)
         sums = [jnp.sum(o if o.dtype != jnp.int32 else o.astype(jnp.float32))
                 for o in jax.tree_util.tree_leaves(out)]
         return s2, sum(sums)
 
-    def make_runner(n_ch: int):
-        """jit((C,)-state, (C,)-segs) -> (state, scalar digest).
-
-        Wide batches run as sequential groups of --group channels inside
-        the jit (lax.map): per-sample cost rises ~60% from a 32-wide to a
-        128-wide working set on v5e (BENCH_NOTES.md sweep), so serving
-        C >> 32 is faster group-by-group."""
-        g = args.group
-        if not g or n_ch <= g or n_ch % g:
-            return jax.jit(jax.vmap(digest_fn))
-        G = n_ch // g
-
-        def grouped(state, segs):
-            split = lambda l: l.reshape((G, g) + l.shape[1:])
-            join = lambda l: l.reshape((n_ch,) + l.shape[2:])
-            st_g = jax.tree_util.tree_map(split, state)
-            seg_g = split(segs)
-            s2_g, digs = jax.lax.map(
-                lambda a: jax.vmap(digest_fn)(a[0], a[1]), (st_g, seg_g))
-            return jax.tree_util.tree_map(join, s2_g), jnp.sum(digs)
-
-        return jax.jit(grouped)
+    # ONE jitted graph serves every rung cell: wide channel banks split
+    # into --group-wide sub-banks and long captures into --tile-block
+    # chunks ON THE HOST, with each (group, chunk) cell a separate async
+    # dispatch of this same executable. Dispatches pipeline on device, so
+    # chunking costs nothing; the graph stays at the throughput-optimal
+    # (32 ch x 12 blk) shape; and the flagship rung pays ZERO extra
+    # compile over the optimum rung. (In-graph alternatives measured
+    # WORSE on v5e: lax.map grouping 1976x, map+scan tiling 944x, vs
+    # 2916x host-celled at 128ch x 48blk — and their compiles run
+    # 3-6 minutes cache-cold vs seconds here.)
+    digest_v = jax.jit(jax.vmap(digest_fn))
 
     def fetch(x):
         return float(np.asarray(x)[()] if np.ndim(x) == 0 else
@@ -212,23 +203,36 @@ def main() -> None:
         try:
             per_ch = np.stack([np.roll(iq[:n_blk * 2 * cfg.block_size_iq],
                                        2 * 997 * c) for c in range(n_ch)])
-            segs = jnp.asarray(per_ch)
-            state = rx.init_state(batch=(n_ch,))
-            digest_v = make_runner(n_ch)
+            if args.tile and n_blk > args.tile and n_blk % args.tile == 0:
+                n_chunks = n_blk // args.tile
+            else:
+                n_chunks = 1
+            g = args.group
+            if not g or n_ch <= g or n_ch % g:
+                g = n_ch
+            n_g = n_ch // g
+            # cells[gi][k]: (g, chunk_len) uint8 for sub-bank gi, chunk k
+            cells = [[jnp.asarray(c) for c in np.split(
+                per_ch[gi * g:(gi + 1) * g], n_chunks, axis=-1)]
+                for gi in range(n_g)]
+            states = [rx.init_state(batch=(g,)) for _ in range(n_g)]
             # compile + warm up (the digest fetch is the only real sync on
             # the axon platform)
-            state2, dig = digest_v(state, segs)
+            state2, dig = digest_v(states[0], cells[0][0])
             fetch(dig)
             t_compile = time.perf_counter() - t_rung
 
-            # measure: chain state through reps dependent executions
+            # measure: chain each sub-bank's state through its chunks,
+            # reps times; one digest fetch syncs the whole pipeline
             reps = 1
             per_run = None
             while remaining() > 5.0:
                 t0 = time.perf_counter()
-                s = state
+                ss = list(states)
                 for _ in range(reps):
-                    s, dig = digest_v(s, segs)
+                    for k in range(n_chunks):
+                        for gi in range(n_g):
+                            ss[gi], dig = digest_v(ss[gi], cells[gi][k])
                 fetch(dig)
                 dt = time.perf_counter() - t0
                 per_run = dt / reps

@@ -141,12 +141,17 @@ class Receiver:
         """Long segment as sequential ``tile_blocks``-sized segment passes
         inside one jitted graph (lax.scan with carried state).
 
-        Per-sample cost of one wide segment pass rises ~40% from 12 to 48
-        blocks on v5e (working set outgrows cache locality — BENCH_NOTES.md
-        sweep), so long captures run faster time-tiled at the optimum.
         Outputs are reshaped to exactly ``run_segment``'s layout; the
         carried state chains across tiles, so results equal a single pass
         up to f32 reduction order.
+
+        NOTE (v5e, measured): prefer HOST-chained 12-block ``run_segment``
+        calls for serving — dispatches pipeline asynchronously, the
+        compiled graph stays at the optimal shape, and compile time stays
+        bounded. This in-graph scan form compiles slowly at scale and ran
+        ~2x slower at 128ch x 48blk (BENCH_NOTES.md); it exists for
+        single-dispatch contexts (e.g. inside a larger jit) and
+        non-TPU backends.
         """
         blk = 2 * self.cfg.block_size_iq
         n_blocks = iq_segment.shape[-1] // blk
