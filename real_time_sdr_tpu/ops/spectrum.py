@@ -20,17 +20,18 @@ NFFT = 512  # reference: include/dy4.h:18
 
 
 def estimate_psd(samples: jax.Array, fs: float, nfft: int = NFFT,
-                 method: str = "fft"):
+                 method: str = "matmul"):
     """Returns (freqs (nfft/2,), psd_db (nfft/2,)).
 
     Matches model/fmSupportLib.py:214-289: segments of length nfft, Hann
     window, per-segment |X_k|^2 * (1/(Fs*nfft/2)) * 2, first half of bins,
     averaged, 10*log10.
 
-    method selects the transform from the ops.fourier ladder: "fft"
-    (XLA, default), "matmul" (the O(N^2) DFT as one resident-twiddle MXU
-    matmul over the whole segment batch), or "stockham" (the vectorized
-    radix-2 autosort).
+    method selects the transform from the ops.fourier ladder: "matmul"
+    (default — the O(N^2) DFT as resident-twiddle MXU matmuls over the
+    whole segment batch; measured 9.5x faster than XLA's FFT at this shape
+    on v5e: 0.57 vs 5.42 ms for 1875 x 512 segments), "fft" (XLA), or
+    "stockham" (the vectorized radix-2 autosort, 0.60 ms).
     """
     from real_time_sdr_tpu.ops import fourier
     n = samples.shape[-1]
