@@ -137,7 +137,10 @@ class PolyFIR:
         # chained frame-construction patterns (pad/reshape/slice/concat from
         # consecutive FIR stages) explodes both compile time (>15 min) and
         # runtime (~50x) on TPU. Measured on the RDS chain, see bench notes.
-        xx = jax.lax.optimization_barrier(xx)
+        # The single-tap (pure delay) path builds no frames — it lowers to a
+        # slice — so it stays barrier-free and fuses into its consumer.
+        if not self._single_tap:
+            xx = jax.lax.optimization_barrier(xx)
         if self._single_tap:
             # pure delay of (K-1-tap_pos)... reference indexing: y[n] =
             # h[pos] * xx[T-1 + n - pos]
