@@ -282,10 +282,15 @@ def main() -> None:
             fetch(jax.tree_util.tree_leaves(out)[0])
             per_block = (time.perf_counter() - t0) / reps
             deadline = cfg.block_size_iq / cfg.rf_fs
-            print(f"# block-mode latency ({n_lat} ch): "
+            # NB: this is the SUSTAINED step time under pipelined dispatch
+            # (what determines whether a live stream keeps up with the
+            # deadline), not the one-block wall latency — through the axon
+            # tunnel a synchronized single step also pays the ~40-60 ms
+            # RPC round trip, which a locally-attached TPU would not.
+            print(f"# block-mode sustained step ({n_lat} ch): "
                   f"{per_block*1e3:.2f} ms/block vs {deadline*1e3:.2f} ms "
-                  f"deadline ({deadline/per_block:.0f}x margin)",
-                  file=sys.stderr)
+                  f"real-time deadline ({deadline/per_block:.0f}x headroom, "
+                  f"pipelined)", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             print(f"# latency measurement failed: {e!r}", file=sys.stderr)
 

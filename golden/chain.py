@@ -34,6 +34,10 @@ def run_stages(cfg, iq_u8: np.ndarray, stereo: bool = True,
     audio_h = filters.design_lpf(cfg.if_fs * cfg.audio_up, cfg.audio_fc,
                                  cfg.rf_taps * cfg.audio_up,
                                  gain=cfg.audio_up)
+    # polyphase state length is ceil(taps/up) - 1 (the resampler touches
+    # only every up-th tap per phase) — NOT taps-1, which breaks the
+    # fractional modes 2/3 where audio_up = 147
+    n_audio_st = -(-len(audio_h) // cfg.audio_up) - 1
     st_i = np.zeros(cfg.rf_taps - 1)
     st_q = np.zeros(cfg.rf_taps - 1)
     prev_i = prev_q = 0.0
@@ -46,12 +50,12 @@ def run_stages(cfg, iq_u8: np.ndarray, stereo: bool = True,
         st_pilot = np.zeros(cfg.rf_taps - 1)
         st_band = np.zeros(cfg.rf_taps - 1)
         st_delay = np.zeros(cfg.rf_taps - 1)
-        st_mono = np.zeros(len(audio_h) - 1)
-        st_sub = np.zeros(len(audio_h) - 1)
+        st_mono = np.zeros(n_audio_st)
+        st_sub = np.zeros(n_audio_st)
         pll_st = dsp.PllState()
         out.update(pilot=[], carrier=[], left=[], right=[])
     else:
-        st_mono = np.zeros(len(audio_h) - 1)
+        st_mono = np.zeros(n_audio_st)
         out.update(mono=[])
 
     if rds:

@@ -155,7 +155,10 @@ class Receiver:
         """
         blk = 2 * self.cfg.block_size_iq
         n_blocks = iq_segment.shape[-1] // blk
-        if n_blocks <= tile_blocks or n_blocks % tile_blocks:
+        # tile_blocks >= 2: the nb==1 step path emits outputs without a
+        # block axis, which the per-tile joins below cannot restack
+        if (tile_blocks < 2 or n_blocks <= tile_blocks
+                or n_blocks % tile_blocks):
             return self.step(state, iq_segment)
         n_tiles = n_blocks // tile_blocks
         lead = iq_segment.shape[:-1]

@@ -248,9 +248,9 @@ def make_bank(firs: list["PolyFIR"], impl: str | None = None,
 
     Returns a callable ``(x, tail) -> ([y_0..y_{n-1}], new_tail)`` with the
     PolyFIR state contract. Selection: explicit ``impl``, else the
-    ``RTSDR_FIR_<SITE>`` env var, else ``RTSDR_FIR``, else a measured
-    per-site default ("pallas" for the large stages on TPU, "xla"
-    elsewhere). Geometries the Pallas kernel cannot tile (stride not
+    ``RTSDR_FIR_<SITE>`` env var, else ``RTSDR_FIR``, else the measured
+    per-site default (currently "xla" at every site — see the table
+    above). Geometries the Pallas kernel cannot tile (stride not
     lane-aligned, single-tap delays) silently use the XLA path.
     """
     if impl is None and site is not None:
@@ -258,7 +258,7 @@ def make_bank(firs: list["PolyFIR"], impl: str | None = None,
     impl = impl or os.environ.get("RTSDR_FIR", "auto")
     if impl == "auto":
         if jax.default_backend() in ("tpu", "axon"):
-            impl = _SITE_DEFAULT_TPU.get(site or "", "pallas")
+            impl = _SITE_DEFAULT_TPU.get(site or "", "xla")
         else:
             impl = "xla"
     if impl in ("pallas", "pallas_interpret"):

@@ -86,9 +86,9 @@ class ChannelBank:
         working set at the throughput-optimal width while XLA still sees a
         single compiled program. Results are exactly ``run_segment`` (the
         channels never interact)."""
-        assert self.n % group == 0, (self.n, group)
         if group >= self.n:
             return self._step(state, segments)
+        assert self.n % group == 0, (self.n, group)
         fn = self._grouped_cache.get(group)
         if fn is None:
             g = int(group)
