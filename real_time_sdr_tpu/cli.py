@@ -57,6 +57,10 @@ def make_parser() -> argparse.ArgumentParser:
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--io-depth", type=int, default=4,
                     help="ring-buffer depth for the native I/O threads")
+    ap.add_argument("--pipeline", type=int, default=1,
+                    help="device blocks kept in flight before the PCM fetch "
+                         "syncs; each adds one block of audio latency but "
+                         "hides dispatch/RPC time (0 = fully synchronous)")
     ap.add_argument("--drop-oldest", action="store_true",
                     help="real-time mode: drop stale input blocks instead of "
                          "backpressuring the source")
@@ -248,8 +252,27 @@ def main(argv=None) -> int:
         return jnp.asarray(buf)
 
     n_blocks = 0
-    pending = None  # (out, t_start) one block in flight
     t_total = 0.0
+    # Pipelined dispatch: keep up to --pipeline blocks in flight before
+    # forcing the PCM fetch (the only device sync). Device programs
+    # execute in order, so results arrive in order; the fetch of block
+    # k-N overlaps the compute of block k. Each queued block adds one
+    # block-duration of audio latency; the win is hiding dispatch + RPC
+    # round-trip (through the axon tunnel a synchronized step pays
+    # ~40-60 ms — more than the 30.6 ms deadline by itself).
+    from collections import deque
+    in_flight: deque = deque()
+
+    def drain_one():
+        nonlocal n_blocks
+        pcm, out = in_flight.popleft()
+        writer.write(np.asarray(pcm))         # fetch forces device sync
+        if framer is not None:
+            n = int(out.rds_nbits)
+            if n > 0:
+                framer.feed(np.asarray(out.rds_bits)[:n])
+        n_blocks += 1
+
     nxt = read_block()
     while nxt is not None:
         t0 = time.perf_counter()
@@ -259,19 +282,18 @@ def main(argv=None) -> int:
             pcm = stereo_pcm(out.left, out.right)
         else:
             pcm = mono_pcm(out.mono)
-        writer.write(np.asarray(pcm))         # fetch forces device sync
-        if framer is not None:
-            n = int(out.rds_nbits)
-            if n > 0:
-                framer.feed(np.asarray(out.rds_bits)[:n])
+        in_flight.append((pcm, out))
+        if len(in_flight) > args.pipeline:
+            drain_one()
         dt = time.perf_counter() - t0
         t_total += dt
-        n_blocks += 1
         if args.stats:
             print(f"block {n_blocks}: {dt*1e3:.2f} ms "
                   f"({budget/dt:.1f}x real time)", file=sys.stderr)
-        if args.max_blocks and n_blocks >= args.max_blocks:
+        if args.max_blocks and n_blocks + len(in_flight) >= args.max_blocks:
             break
+    while in_flight:
+        drain_one()
     reader.close()
     writer.close()  # drains the ring
     if reader.dropped:

@@ -49,6 +49,17 @@ def test_cli_stereo_rds(station_file):
     assert "PTY: Sports" in err
 
 
+def test_cli_pipeline_depth_identical(station_file):
+    # deeper in-flight pipelining must not change a single output bit
+    # (device programs complete in order; only the fetch point moves)
+    path, truth, cfg = station_file
+    r0 = run_cli(["0", "r", "--pipeline", "0", "--max-blocks", "8"], path)
+    r4 = run_cli(["0", "r", "--pipeline", "4", "--max-blocks", "8"], path)
+    assert r0.returncode == 0 and r4.returncode == 0
+    assert r0.stdout == r4.stdout
+    assert len(r0.stdout) == 8 * cfg.audio_block * 2 * 2
+
+
 def test_cli_mono(station_file):
     path, truth, cfg = station_file
     r = run_cli(["0", "m", "--max-blocks", "6", "--stats"], path)
