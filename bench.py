@@ -117,6 +117,11 @@ def main() -> None:
                          "this many blocks (the v5e optimum; dispatches "
                          "pipeline asynchronously so chunking costs nothing; "
                          "0 = one wide in-graph pass)")
+    ap.add_argument("--wideband", type=int, default=0, metavar="N",
+                    help="also measure the channelizer serving path: N "
+                         "stations mixed+decimated out of ONE 4x-rate "
+                         "wideband capture, then decoded as a bank "
+                         "(models/channelizer.py); prints a stderr line")
     ap.add_argument("--latency", action="store_true",
                     help="also measure BLOCK-mode per-step latency vs the "
                          "real-time deadline (the reference's contract is "
@@ -201,8 +206,7 @@ def main() -> None:
             break
         t_rung = time.perf_counter()
         try:
-            per_ch = np.stack([np.roll(iq[:n_blk * 2 * cfg.block_size_iq],
-                                       2 * 997 * c) for c in range(n_ch)])
+            n_len = n_blk * 2 * cfg.block_size_iq
             if args.tile and n_blk > args.tile and n_blk % args.tile == 0:
                 n_chunks = n_blk // args.tile
             else:
@@ -211,10 +215,21 @@ def main() -> None:
             if not g or n_ch <= g or n_ch % g:
                 g = n_ch
             n_g = n_ch // g
+            # one host->device transfer of the base segment; the per-channel
+            # time shifts are built ON DEVICE (a wide rung would otherwise
+            # push n_ch copies through the tunnel — minutes of setup)
+            base2 = jnp.concatenate([jnp.asarray(iq[:n_len])] * 2)
+            shifts = jnp.asarray([(2 * 997 * c) % n_len
+                                  for c in range(n_ch)], jnp.int32)
+            per_ch_dev = jax.jit(jax.vmap(
+                lambda s: jax.lax.dynamic_slice(base2, (s,), (n_len,))))(
+                    shifts)
+            chunk_len = n_len // n_chunks
             # cells[gi][k]: (g, chunk_len) uint8 for sub-bank gi, chunk k
-            cells = [[jnp.asarray(c) for c in np.split(
-                per_ch[gi * g:(gi + 1) * g], n_chunks, axis=-1)]
-                for gi in range(n_g)]
+            cells = [[jax.device_put(
+                per_ch_dev[gi * g:(gi + 1) * g,
+                           k * chunk_len:(k + 1) * chunk_len])
+                for k in range(n_chunks)] for gi in range(n_g)]
             states = [rx.init_state(batch=(g,)) for _ in range(n_g)]
             # compile + warm up (the digest fetch is the only real sync on
             # the axon platform)
@@ -254,11 +269,58 @@ def main() -> None:
             last_rung_cost = time.perf_counter() - t_rung
             print(f"# rung {n_ch}ch x {n_blk}blk: {realtime_x:.0f}x realtime "
                   f"({ms_per_s:.1f} MS/s, {per_run*1e3:.1f} ms/run x {reps} "
-                  f"reps, compile {t_compile:.0f}s) on "
+                  f"reps, setup+compile {t_compile:.0f}s) on "
                   f"{jax.devices()[0].device_kind}", file=sys.stderr)
         except Exception as e:  # noqa: BLE001 - keep earlier rung's number
             print(f"# rung {n_ch}x{n_blk} failed: {e!r}", file=sys.stderr)
             break
+
+    if args.wideband and _result is not None and remaining() > 60:
+        # Channelizer serving path: one wideband stream in, N stations out.
+        try:
+            from real_time_sdr_tpu.models.channelizer import Channelizer
+            wide_fs = 4 * cfg.rf_fs
+            n_st = args.wideband
+            span = wide_fs // 2 - cfg.rf_fs // 2
+            offs = [int(-span + (2 * span) * k / max(n_st - 1, 1))
+                    for k in range(n_st)]
+            ch = Channelizer(cfg, wide_fs, offs)
+            n_wb = 4  # wideband blocks cycled through the chain
+            block_pairs = cfg.block_size_iq * ch.decim
+            rng = np.random.default_rng(0)
+            iw = jnp.asarray(rng.standard_normal(
+                (n_wb, block_pairs)).astype(np.float32) * 0.1)
+            qw = jnp.asarray(rng.standard_normal(
+                (n_wb, block_pairs)).astype(np.float32) * 0.1)
+
+            def wb_step(cstate, bstate, i, q):
+                (i_ds, q_ds), cstate = ch(i, q, cstate)
+                bstate, out = jax.vmap(rx.step)(bstate,
+                                                ch.to_uint8(i_ds, q_ds))
+                sums = [jnp.sum(o if o.dtype != jnp.int32
+                                else o.astype(jnp.float32))
+                        for o in jax.tree_util.tree_leaves(out)]
+                return cstate, bstate, sum(sums)
+
+            wb_jit = jax.jit(wb_step)
+            cs, bs = ch.init_state(), rx.init_state(batch=(n_st,))
+            cs2, bs2, dig = wb_jit(cs, bs, iw[0], qw[0])
+            fetch(dig)
+            reps = 32
+            t0 = time.perf_counter()
+            c, b = cs, bs
+            for r in range(reps):
+                c, b, dig = wb_jit(c, b, iw[r % n_wb], qw[r % n_wb])
+            fetch(dig)
+            per_block = (time.perf_counter() - t0) / reps
+            wb_ms = block_pairs / per_block / 1e6
+            rt = wb_ms / (wide_fs / 1e6)
+            print(f"# wideband channelize+decode ({n_st} stations from one "
+                  f"{wide_fs/1e6:g} MS/s capture): {per_block*1e3:.2f} ms"
+                  f"/block, {wb_ms:.0f} MS/s wideband = {rt:.0f}x realtime",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"# wideband measurement failed: {e!r}", file=sys.stderr)
 
     if args.latency and _result is not None and remaining() > 60:
         # Real-time serving latency: single-block steps (the streaming-mode
