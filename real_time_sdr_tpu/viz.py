@@ -37,6 +37,14 @@ def main(argv=None) -> int:
                          "(models/rds_alt) and render its Costas frequency "
                          "track + complex constellation")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--ber", action="store_true",
+                    help="instead of the figure sheet, sweep AWGN levels on "
+                         "a synthesized station and render the RDS BER / "
+                         "decode-survival curve (ber_curve.png + table on "
+                         "stderr); use >=30 --blocks so the PS name has "
+                         "time to decode")
+    ap.add_argument("--sigmas", default="0,0.02,0.05,0.08,0.12,0.16,0.22,0.3",
+                    help="comma-separated AWGN sigma sweep for --ber")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -51,6 +59,8 @@ def main(argv=None) -> int:
     from real_time_sdr_tpu.utils import viz
 
     cfg = mode_config(args.mode)
+    if args.ber:
+        return _ber_curve(cfg, args)
     blk = 2 * cfg.block_size_iq
     if args.capture:
         iq = np.fromfile(args.capture, dtype=np.uint8)
@@ -158,6 +168,82 @@ def main(argv=None) -> int:
 
     for w in written:
         print(w)
+    return 0
+
+
+def _ber_curve(cfg, args) -> int:
+    """Sweep AWGN sigma -> post-differential BER + PS decode survival.
+
+    The radio-performance record SURVEY section 7 asks for alongside
+    throughput: how much channel noise the RDS chain tolerates. One
+    receiver (one compile) reused across the sweep; BER measured against
+    the transmitted bit stream the synthesizer reports.
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    from real_time_sdr_tpu.models.receiver import Receiver
+    from real_time_sdr_tpu.models.rds_framing import RdsFramer
+    from real_time_sdr_tpu.utils.synth import station_iq
+
+    nb = args.blocks
+    rx = Receiver(cfg, stereo=True, rds=True, pll_tier=1)
+    sigmas = [float(s) for s in args.sigmas.split(",") if s.strip()]
+    rows = []
+    for sigma in sigmas:
+        iq, truth = station_iq(cfg, nb, ps_name="BER-SWP ", pi=0x7A7A,
+                               pty=6, noise_std=sigma)
+        _, out = rx.run_segment(rx.init_state(), jnp.asarray(iq))
+        nbits = np.asarray(out.rds_nbits)
+        bits = np.asarray(out.rds_bits)
+        # steady-state BER: skip the acquisition/settle blocks so the curve
+        # reflects channel noise, not the PLL transient
+        settle = min(8, nb // 3)
+        got = "".join(str(b) for k in range(settle, nb) if nbits[k] > 0
+                      for b in bits[k][:nbits[k]])
+        if got:
+            ref = "".join(map(str, truth["bits"] * 60))
+            best = min(sum(a != b
+                           for a, b in zip(got, ref[off:off + len(got)]))
+                       for off in range(len(truth["bits"]) * 2))
+            ber = best / len(got)
+        else:
+            ber = float("nan")  # synchronizer never produced bits
+        framer = RdsFramer()
+        for k in range(nb):
+            if nbits[k] > 0:
+                framer.feed(bits[k][:nbits[k]])
+        ok = framer.events.ps_name == "BER-SWP "
+        rows.append((sigma, ber, ok, len(got)))
+        print(f"sigma={sigma:.2f}  BER={ber:.2e}  bits={len(got)}  "
+              f"PS decoded={ok}", file=sys.stderr)
+
+    os.makedirs(args.out, exist_ok=True)
+    path = os.path.join(args.out, "ber_curve.png")
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(7, 4.2))
+    valid = [r for r in rows if r[1] == r[1]]  # NaN = no bits, not plotted
+    xs = [r[0] for r in valid]
+    ys = [max(r[1], 1e-5) for r in valid]
+    ax.semilogy(xs, ys, "o-", color="#000088")
+    for x, y, ok in zip(xs, ys, [r[2] for r in valid]):
+        ax.annotate("PS" if ok else "x", (x, y), textcoords="offset points",
+                    xytext=(0, 8), ha="center",
+                    color="#008800" if ok else "#aa0000", fontsize=9)
+    for r in rows:
+        if r[1] != r[1]:
+            ax.axvline(r[0], color="#aa0000", ls=":", alpha=0.5)
+    ax.set_xlabel("AWGN sigma on unit-amplitude IQ")
+    ax.set_ylabel("post-differential BER")
+    ax.set_title(f"RDS BER vs channel noise (mode {cfg.mode}, {nb} blocks; "
+                 f"green PS = Program Service decoded)")
+    ax.grid(which="both", alpha=0.4)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    print(path)
     return 0
 
 
