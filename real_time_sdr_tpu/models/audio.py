@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from real_time_sdr_tpu import config as C
 from real_time_sdr_tpu.config import ReceiverConfig
 from real_time_sdr_tpu.ops import filters
-from real_time_sdr_tpu.ops.fir import PolyFIR, make_bank, state_len
+from real_time_sdr_tpu.ops.fir import PolyFIR, barrier, make_bank, state_len
 from real_time_sdr_tpu.ops.pll import (PllCarry, PllParams, pll_init,
                                        pll_newton, pll_scan)
 from real_time_sdr_tpu.ops.sync import FeedforwardSync
@@ -122,9 +122,9 @@ class StereoPath:
         else:
             (pilot, band), pilot_tail = self._pb_bank(demod,
                                                       state.pilot_tail)
-        carrier, pll = self._pll(jax.lax.optimization_barrier(pilot),
+        carrier, pll = self._pll(barrier(pilot, "pll"),
                                  state.pll, self.pll_params)
-        carrier = jax.lax.optimization_barrier(carrier)
+        carrier = barrier(carrier, "pll")
         stereo_dc = 2.0 * band * carrier
         mono_delay, delay_tail = self.delay_fir(demod, state.delay_tail)
         if self._stack_rails:

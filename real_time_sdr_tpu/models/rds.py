@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from real_time_sdr_tpu import config as C
 from real_time_sdr_tpu.config import ReceiverConfig
 from real_time_sdr_tpu.ops import filters
-from real_time_sdr_tpu.ops.fir import PolyFIR, make_bank, state_len
+from real_time_sdr_tpu.ops.fir import PolyFIR, barrier, make_bank, state_len
 from real_time_sdr_tpu.ops.pll import (PllCarry, PllParams, pll_init,
                                        pll_newton, pll_scan)
 from real_time_sdr_tpu.ops.rds_bits import (BitSyncState, TimingTrack,
@@ -156,9 +156,9 @@ class RdsPath:
             (band,), band_tail = self._band_bank(demod, state.band_tail)
         squared = band * band
         (pilot,), pilot_tail = self._pilot_bank(squared, state.pilot_tail)
-        carrier, pll = self._pll(jax.lax.optimization_barrier(pilot),
+        carrier, pll = self._pll(barrier(pilot, "pll"),
                                  state.pll, self.pll_params)
-        carrier = jax.lax.optimization_barrier(carrier)
+        carrier = barrier(carrier, "pll")
         delayed, delay_tail = self.delay_fir(band, state.delay_tail)
         mixed = 2.0 * delayed * carrier
 

@@ -40,7 +40,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["PolyFIR", "state_len", "init_state", "make_bank"]
+__all__ = ["PolyFIR", "state_len", "init_state", "make_bank", "barrier"]
+
+# Experiment hook: RTSDR_NO_BARRIER="tag1,tag2" (or "all") drops the
+# fusion barriers at the named sites so the effect can be MEASURED per
+# site on real hardware (bench/barrier_ab.py). Default keeps every
+# barrier — the measured-safe configuration (see the comment in
+# PolyFIR.__call__ and CLAUDE.md).
+_NO_BARRIER = frozenset(
+    t.strip() for t in os.environ.get("RTSDR_NO_BARRIER", "").split(",")
+    if t.strip())
+
+
+def barrier(x, tag: str):
+    """``jax.lax.optimization_barrier`` unless disabled for ``tag``."""
+    if "all" in _NO_BARRIER or tag in _NO_BARRIER:
+        return x
+    return jax.lax.optimization_barrier(x)
 
 
 def state_len(num_taps: int, up: int = 1) -> int:
@@ -140,7 +156,7 @@ class PolyFIR:
         # The single-tap (pure delay) path builds no frames — it lowers to a
         # slice — so it stays barrier-free and fuses into its consumer.
         if not self._single_tap:
-            xx = jax.lax.optimization_barrier(xx)
+            xx = barrier(xx, "polyfir")
         if self._single_tap:
             # pure delay of (K-1-tap_pos)... reference indexing: y[n] =
             # h[pos] * xx[T-1 + n - pos]
@@ -185,7 +201,7 @@ def shared_frames_apply(firs: list["PolyFIR"], x: jax.Array,
     assert not f0._single_tap
     n = x.shape[-1]
     xx = jnp.concatenate([tail, x.astype(tail.dtype)], axis=-1)
-    xx = jax.lax.optimization_barrier(xx)
+    xx = barrier(xx, "shared")
     n_out, R, stride, J, _, c_frames, s_over, pad_to = f0._plan(n)
     w_cat = np.concatenate([f._plan(n)[4] for f in firs], axis=1)
     pad = pad_to - xx.shape[-1]
@@ -356,7 +372,7 @@ class DualPhaseFIR:
         Returns (i_ds, q_ds, new_tail), streams (..., N//down) float32."""
         n2 = s_u8.shape[-1]
         xx = jnp.concatenate([tail_u8, s_u8], axis=-1)
-        xx = jax.lax.optimization_barrier(xx)
+        xx = barrier(xx, "dualphase")
         n_out, R, stride, J, W, c_frames, s_over, pad_to = self._plan(n2)
         pad = pad_to - xx.shape[-1]
         if pad > 0:
