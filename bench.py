@@ -68,23 +68,52 @@ def _better(new: dict | None, old: dict | None) -> dict | None:
     return new if new["value"] >= old["value"] else old
 
 
-def _cpu_insurance(timeout_s: float) -> dict | None:
-    """A tiny CPU-backend run in a subprocess: a guaranteed non-null number
-    even if the TPU tunnel is down or remote compiles outlast the driver's
-    timeout. Overwritten by any completed TPU rung."""
+def _start_cpu_insurance() -> subprocess.Popen | None:
+    """Launch a tiny CPU-backend run in a subprocess: a guaranteed non-null
+    number even if the TPU tunnel is down or remote compiles outlast the
+    driver's timeout. Overwritten by any completed TPU rung."""
     cmd = [sys.executable, os.path.abspath(__file__), "--cpu", "--channels",
            "4", "--blocks", "4", "--no-insurance", "--budget", "150"]
     try:
-        out = subprocess.run(cmd, capture_output=True, text=True,
-                             timeout=timeout_s, cwd=os.path.dirname(
-                                 os.path.abspath(__file__)))
-        for line in out.stdout.splitlines():
+        return subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                stderr=subprocess.DEVNULL, text=True,
+                                cwd=os.path.dirname(os.path.abspath(__file__)))
+    except Exception as e:  # noqa: BLE001 - insurance must never raise
+        print(f"# cpu insurance failed to start: {e!r}", file=sys.stderr)
+        return None
+
+
+def _collect_cpu_insurance(proc: subprocess.Popen | None,
+                           timeout_s: float) -> dict | None:
+    if proc is None:
+        return None
+    try:
+        out, _ = proc.communicate(timeout=max(5.0, timeout_s))
+        for line in out.splitlines():
             line = line.strip()
             if line.startswith("{"):
                 return json.loads(line)
-    except Exception as e:  # noqa: BLE001 - insurance must never raise
+    except Exception as e:  # noqa: BLE001
+        proc.kill()
         print(f"# cpu insurance failed: {e!r}", file=sys.stderr)
     return None
+
+
+def _tpu_probe(timeout_s: float) -> bool:
+    """Run a trivial device op in a SUBPROCESS with a hard timeout.
+
+    The axon tunnel, when unhealthy, wedges backend init indefinitely with
+    no error; probing in a child process keeps this process from hanging at
+    its first device touch and lets us wait out a transient outage."""
+    code = ("import jax, numpy as np, jax.numpy as jnp;"
+            "print('PROBE', float(np.asarray(jnp.arange(8.0)[3] * 2)))")
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True,
+                             timeout=max(10.0, timeout_s))
+        return out.returncode == 0 and "PROBE 6.0" in out.stdout
+    except Exception:  # noqa: BLE001 - timeout or spawn failure
+        return False
 
 
 def main() -> None:
@@ -136,10 +165,32 @@ def main() -> None:
     import atexit
     atexit.register(_emit)
 
-    # Guaranteed fallback number first (about 60-90 s of the budget).
+    # Guaranteed fallback number (runs concurrently with the tunnel probe).
+    ins_proc = None
     if not args.no_insurance and not args.cpu:
-        _result = _better(_cpu_insurance(min(150.0, remaining() * 0.45)),
-                          _result)
+        ins_proc = _start_cpu_insurance()
+
+    # Never touch the device backend in THIS process until a subprocess
+    # probe proves the tunnel answers — a wedged tunnel would otherwise
+    # hang us at the first jit with nothing emitted but the insurance.
+    tunnel_ok = args.cpu
+    while not tunnel_ok:
+        tunnel_ok = _tpu_probe(min(90.0, remaining() - 30.0))
+        if tunnel_ok or remaining() < 150.0:
+            break
+        print(f"# device tunnel unresponsive; retrying probe "
+              f"({remaining():.0f}s budget left)", file=sys.stderr)
+        time.sleep(min(20.0, max(0.0, remaining() - 140.0)))
+
+    if ins_proc is not None:
+        _result = _better(
+            _collect_cpu_insurance(ins_proc, min(150.0, remaining() * 0.6)),
+            _result)
+
+    if not tunnel_ok:
+        print("# device tunnel down for the whole budget; reporting the "
+              "CPU fallback number", file=sys.stderr)
+        return  # atexit emits the best result
 
     import jax
     if args.cpu:

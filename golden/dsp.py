@@ -384,9 +384,12 @@ def encode_group(pi, group_type, pty, placement, data_c, data_d):
 
 
 def group_to_bits(words):
-    """Four data words -> 104 bits with CRC+offset checkwords appended."""
+    """Four data words -> 104 bits with CRC+offset checkwords appended.
+
+    Version-B groups (bit 11 of block B) put block 3 under the C' offset."""
+    offsets = ["A", "B", "Cp" if (words[1] >> 11) & 1 else "C", "D"]
     bits = []
-    for word, offset in zip(words, ["A", "B", "C", "D"]):
+    for word, offset in zip(words, offsets):
         check = _crc_remainder(word, 16) ^ OFFSET_WORDS[offset]
         block = (word << 10) | check
         bits.extend((block >> (25 - i)) & 1 for i in range(26))

@@ -242,6 +242,8 @@ def main(argv=None) -> int:
             print(f"Program Service: {val}", file=sys.stderr)
         elif kind == "radiotext":
             print(f"RadioText: {val}", file=sys.stderr)
+        elif kind == "clock":
+            print(f"Clock Time: {val}", file=sys.stderr)
 
     framer = RdsFramer(on_event=emit) if rds else None
 

@@ -11,8 +11,9 @@ Differences from the reference, by design:
 - syndromes come from the CRC remainder convention, proven decision-identical
   to the reference's parity-matrix-with-table comparison (both are rank-10
   maps with the RBDS code as kernel — see tests/test_rds_codec_golden.py);
-- group type 2 (RadioText) is parsed in addition to type 0 (Program
-  Service), mirroring the reference models (model/OurRDSOurDSP.py:486-528).
+- group types 2A/2B (RadioText, mirroring model/OurRDSOurDSP.py:486-528)
+  and 4A (clock-time/date) are parsed in addition to type 0 (Program
+  Service); both framers share one parser (`_GroupParsing`).
 """
 
 from __future__ import annotations
@@ -49,10 +50,84 @@ class RdsEvents:
     pty: str | None = None
     ps_name: str | None = None
     radiotext: str = " " * 64
+    clock_utc: str | None = None
     groups_decoded: int = 0
 
 
-class RdsFramer:
+class _GroupParsing:
+    """Shared group-field parsing for both framers.
+
+    The reference's ``parse`` (src/rds_utilities.cpp:172-199) handles group
+    type 0 (Program Service); its models add type 2A RadioText
+    (model/OurRDSOurDSP.py:486-528). Both are here, plus two RBDS-standard
+    extensions the reference lacks: the B-version layouts (0B PS, 2B 32-char
+    RadioText carried in block D only) and type 4A clock-time/date (CT:
+    17-bit Modified Julian Date + UTC hour/minute + half-hour local offset).
+
+    Subclasses provide ``events``, ``_ps_chars``, ``_rt`` and ``_on_event``.
+    """
+
+    def _parse_group_words(self, a: int, b: int, c: int, d: int) -> None:
+        ev = self.events
+        ev.pi = a
+        group_type = (b >> 12) & 0xF
+        version_b = (b >> 11) & 1
+        ev.pty = PTY_NAMES[(b >> 5) & 0x1F]
+        ev.groups_decoded += 1
+        self._on_event("group", (ev.pi, group_type, ev.pty))
+        if group_type == 0:
+            # 0A and 0B both carry the PS segment in block D
+            placement = b & 0x3
+            mask = ~(0xFFFF << (48 - 16 * placement)) & ((1 << 64) - 1)
+            self._ps_chars = (self._ps_chars & mask) | (
+                d << (16 * (3 - placement)))
+            if placement == 3:
+                name = "".join(chr((self._ps_chars >> (8 * (7 - i))) & 0xFF)
+                               for i in range(8))
+                ev.ps_name = name
+                self._on_event("ps", name)
+        elif group_type == 2:
+            seg = b & 0xF
+            if version_b:           # 2B: 2 chars per group from block D
+                pairs = ((d >> 8) & 0xFF, d & 0xFF)
+                base = seg * 2
+            else:                   # 2A: 4 chars per group from C + D
+                pairs = ((c >> 8) & 0xFF, c & 0xFF, (d >> 8) & 0xFF, d & 0xFF)
+                base = seg * 4
+            for j, ch in enumerate(pairs):
+                self._rt[base + j] = chr(ch) if 32 <= ch < 127 else " "
+            ev.radiotext = "".join(self._rt)
+            self._on_event("radiotext", ev.radiotext)
+        elif group_type == 4 and not version_b:
+            ct = _parse_clocktime(b, c, d)
+            if ct is not None:
+                ev.clock_utc = ct
+                self._on_event("clock", ct)
+
+
+def mjd_to_date(mjd: int) -> tuple[int, int, int]:
+    """Modified Julian Date -> (year, month, day), per the RDS spec annex."""
+    yp = int((mjd - 15078.2) / 365.25)
+    mp = int((mjd - 14956.1 - int(yp * 365.25)) / 30.6001)
+    day = mjd - 14956 - int(yp * 365.25) - int(mp * 30.6001)
+    k = 1 if mp in (14, 15) else 0
+    return 1900 + yp + k, mp - 1 - 12 * k, day
+
+
+def _parse_clocktime(b: int, c: int, d: int) -> str | None:
+    """Decode a 4A group's CT fields; None if the timestamp is invalid."""
+    mjd = ((b & 0x3) << 15) | (c >> 1)
+    hour = ((c & 1) << 4) | ((d >> 12) & 0xF)
+    minute = (d >> 6) & 0x3F
+    if hour > 23 or minute > 59 or mjd < 15079:
+        return None
+    off = (d & 0x1F) * (-0.5 if (d >> 5) & 1 else 0.5)
+    year, month, day = mjd_to_date(mjd)
+    return (f"{year:04d}-{month:02d}-{day:02d} "
+            f"{hour:02d}:{minute:02d} UTC{off:+.1f}")
+
+
+class RdsFramer(_GroupParsing):
     """Streaming frame sync + group assembly for one channel."""
 
     def __init__(self, on_event: Callable[[str, object], None] | None = None):
@@ -107,45 +182,21 @@ class RdsFramer:
     # -- group assembly ----------------------------------------------------
 
     def _block(self, name: str, data16: int) -> None:
-        if name in ("A", "B", "C", "D"):
-            slot = "ABCD".index(name)
-            mask = ~(0xFFFF << (48 - 16 * slot)) & ((1 << 64) - 1)
-            self._reg = (self._reg & mask) | (data16 << (48 - 16 * slot))
-        self._window.append(name)
+        slot = {"A": 0, "B": 1, "C": 2, "Cp": 2, "D": 3}[name]
+        mask = ~(0xFFFF << (48 - 16 * slot)) & ((1 << 64) - 1)
+        self._reg = (self._reg & mask) | (data16 << (48 - 16 * slot))
+        self._window.append("C" if name == "Cp" else name)
         if len(self._window) > 4:
             self._window.pop(0)
         if self._window == ["A", "B", "C", "D"]:
             self._group(self._reg)
 
     def _group(self, g: int) -> None:
-        ev = self.events
-        ev.pi = (g >> 48) & 0xFFFF
-        group_type = (g >> 44) & 0xF
-        ev.pty = PTY_NAMES[(g >> 37) & 0x1F]
-        ev.groups_decoded += 1
-        self._on_event("group", (ev.pi, group_type, ev.pty))
-        if group_type == 0:
-            placement = (g >> 32) & 0x3
-            word = g & 0xFFFF
-            mask = ~(0xFFFF << (48 - 16 * placement)) & ((1 << 64) - 1)
-            self._ps_chars = (self._ps_chars & mask) | (
-                word << (16 * (3 - placement)))
-            if placement == 3:
-                name = "".join(chr((self._ps_chars >> (8 * (7 - i))) & 0xFF)
-                               for i in range(8))
-                ev.ps_name = name
-                self._on_event("ps", name)
-        elif group_type == 2:
-            seg = (g >> 32) & 0xF
-            chars = g & 0xFFFFFFFF
-            for j in range(4):
-                c = (chars >> (8 * (3 - j))) & 0xFF
-                self._rt[seg * 4 + j] = chr(c) if 32 <= c < 127 else " "
-            ev.radiotext = "".join(self._rt)
-            self._on_event("radiotext", ev.radiotext)
+        self._parse_group_words((g >> 48) & 0xFFFF, (g >> 32) & 0xFFFF,
+                                (g >> 16) & 0xFFFF, g & 0xFFFF)
 
 
-class SyncByOffsetDecoder:
+class SyncByOffsetDecoder(_GroupParsing):
     """Alternative framer: GNU-Radio-style sync-by-offset state machine.
 
     The reference ships this decoder dormant (``error_detection``,
@@ -255,30 +306,4 @@ class SyncByOffsetDecoder:
 
     def _parse_group(self) -> None:
         a, bw, c, d = self._group
-        g = (a << 48) | (bw << 32) | (c << 16) | d
-        ev = self.events
-        ev.pi = a
-        group_type = (bw >> 12) & 0xF
-        ev.pty = PTY_NAMES[(bw >> 5) & 0x1F]
-        ev.groups_decoded += 1
-        self._on_event("group", (ev.pi, group_type, ev.pty))
-        if group_type == 0:
-            placement = bw & 0x3
-            mask = ~(0xFFFF << (48 - 16 * placement)) & ((1 << 64) - 1)
-            self._ps_chars = (self._ps_chars & mask) | (
-                d << (16 * (3 - placement)))
-            if placement == 3:
-                name = "".join(chr((self._ps_chars >> (8 * (7 - i))) & 0xFF)
-                               for i in range(8))
-                ev.ps_name = name
-                self._on_event("ps", name)
-        elif group_type == 2:
-            # RadioText (model/OurRDSOurDSP.py:486-528), same parse as
-            # RdsFramer so both framers expose equal capability
-            seg = bw & 0xF
-            chars = (c << 16) | d
-            for j in range(4):
-                ch = (chars >> (8 * (3 - j))) & 0xFF
-                self._rt[seg * 4 + j] = chr(ch) if 32 <= ch < 127 else " "
-            ev.radiotext = "".join(self._rt)
-            self._on_event("radiotext", ev.radiotext)
+        self._parse_group_words(a, bw, c, d)

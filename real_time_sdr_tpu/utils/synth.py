@@ -31,16 +31,23 @@ _OFFSET_WORDS = {"A": 0x0FC, "B": 0x198, "C": 0x168, "Cp": 0x350, "D": 0x1B4}
 # ---------------------------------------------------------------------------
 
 def encode_group(pi: int, group_type: int, pty: int, placement: int,
-                 data_c: int, data_d: int) -> list[int]:
-    """Four 16-bit data words of one version-A group."""
-    b = (group_type << 12) | (pty << 5) | placement
+                 data_c: int, data_d: int,
+                 version_b: bool = False) -> list[int]:
+    """Four 16-bit data words of one group (version A, or B via flag)."""
+    b = ((group_type << 12) | (int(version_b) << 11) | (pty << 5)
+         | placement)
     return [pi, b, data_c, data_d]
 
 
 def group_to_bits(words: list[int]) -> list[int]:
-    """Data words -> 104 transmitted bits (CRC + offset word per block)."""
+    """Data words -> 104 transmitted bits (CRC + offset word per block).
+
+    Version-B groups (bit 11 of block B) transmit block 3 under the C'
+    offset word, as the standard requires.
+    """
+    offsets = ("A", "B", "Cp" if (words[1] >> 11) & 1 else "C", "D")
     bits = []
-    for word, offset in zip(words, ("A", "B", "C", "D")):
+    for word, offset in zip(words, offsets):
         check = _crc_remainder(word, 16) ^ _OFFSET_WORDS[offset]
         block = (word << 10) | check
         bits.extend((block >> (25 - i)) & 1 for i in range(26))
@@ -68,6 +75,38 @@ def radiotext_groups(pi: int, pty: int, text: str) -> list[list[int]]:
         d = (ord(chunk[2]) << 8) | ord(chunk[3])
         out.append(encode_group(pi, 2, pty, seg, c, d))
     return out
+
+
+def radiotext_2b_groups(pi: int, pty: int, text: str) -> list[list[int]]:
+    """Group-type-2B sequence: 2 chars per group in block D, PI in block C."""
+    text = text.ljust(2 * ((len(text) + 1) // 2))
+    assert len(text) <= 32
+    out = []
+    for seg in range(len(text) // 2):
+        chunk = text[2 * seg: 2 * seg + 2]
+        d = (ord(chunk[0]) << 8) | ord(chunk[1])
+        out.append(encode_group(pi, 2, pty, seg, pi, d, version_b=True))
+    return out
+
+
+def date_to_mjd(year: int, month: int, day: int) -> int:
+    """(year, month, day) -> Modified Julian Date, per the RDS spec annex."""
+    lflag = 1 if month in (1, 2) else 0
+    return (14956 + day + int((year - 1900 - lflag) * 365.25)
+            + int((month + 1 + 12 * lflag) * 30.6001))
+
+
+def clocktime_group(pi: int, pty: int, year: int, month: int, day: int,
+                    hour: int, minute: int,
+                    offset_half_hours: int = 0) -> list[int]:
+    """One group-type-4A (clock-time/date) group for the given UTC time."""
+    mjd = date_to_mjd(year, month, day)
+    b_low = (mjd >> 15) & 0x3
+    c = ((mjd & 0x7FFF) << 1) | ((hour >> 4) & 1)
+    d = (((hour & 0xF) << 12) | ((minute & 0x3F) << 6)
+         | (0x20 if offset_half_hours < 0 else 0)
+         | (abs(offset_half_hours) & 0x1F))
+    return encode_group(pi, 4, pty, b_low, c, d)
 
 
 def differential_encode(bits, prev: int = 0) -> list[int]:
@@ -163,10 +202,13 @@ def fm_iq(rf_fs: int, n_samples: int, *,
 def station_iq(cfg: ReceiverConfig, n_blocks: int, *,
                ps_name: str = "TPU-FM  ", pi: int = 0x3A5C, pty: int = 5,
                radiotext: str | None = None,
+               clock: tuple[int, ...] | None = None,
                tone_left: float = 440.0, tone_right: float = 1200.0,
                **kw) -> tuple[np.ndarray, dict]:
     """Convenience: a full station with stereo tones + RDS PS (and optionally
-    RadioText). Returns (uint8 IQ of n_blocks blocks, ground-truth dict)."""
+    RadioText and a 4A clock-time group, as
+    ``clock=(year, month, day, hour, minute[, offset_half_hours])``).
+    Returns (uint8 IQ of n_blocks blocks, ground-truth dict)."""
     n = cfg.block_size_iq * n_blocks
     t = np.arange(n) / cfg.rf_fs
     left = np.sin(2 * np.pi * tone_left * t)
@@ -174,6 +216,8 @@ def station_iq(cfg: ReceiverConfig, n_blocks: int, *,
     groups = ps_groups(pi, pty, ps_name)
     if radiotext is not None:
         groups = groups + radiotext_groups(pi, pty, radiotext)
+    if clock is not None:
+        groups = groups + [clocktime_group(pi, pty, *clock)]
     bits = [b for g in groups for b in group_to_bits(g)]
     # repeat groups so warm-up blocks and sync hunting have margin
     secs = n / cfg.rf_fs
@@ -184,7 +228,7 @@ def station_iq(cfg: ReceiverConfig, n_blocks: int, *,
                stereo_diff=(left - right) / 2, rds_symbols=syms,
                rds_sps=cfg.sps, **kw)
     truth = dict(ps_name=ps_name, pi=pi, pty=pty, left=left, right=right,
-                 bits=bits, radiotext=radiotext)
+                 bits=bits, radiotext=radiotext, clock=clock)
     return iq, truth
 
 

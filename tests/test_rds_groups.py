@@ -1,0 +1,89 @@
+"""Group-type coverage beyond the reference's PS parser: version-B layouts
+(0B/2B, transmitted under the C' offset word) and 4A clock-time/date.
+
+The reference parses type 0 only (src/rds_utilities.cpp:172-199); its models
+add 2A RadioText (model/OurRDSOurDSP.py:486-528). These tests pin the
+RBDS-standard extensions both framers now share via _GroupParsing.
+"""
+
+import datetime
+
+import numpy as np
+
+from real_time_sdr_tpu.models.rds_framing import (RdsFramer,
+                                                  SyncByOffsetDecoder,
+                                                  mjd_to_date)
+from real_time_sdr_tpu.utils import synth
+
+_MJD_EPOCH_ORDINAL = datetime.date(1858, 11, 17).toordinal()
+
+
+def _feed(framer, groups, repeats=2):
+    bits = []
+    for _ in range(repeats):
+        for g in groups:
+            bits.extend(synth.group_to_bits(g))
+    rng = np.random.default_rng(7)
+    stream = list(rng.integers(0, 2, 31)) + bits
+    framer.feed(np.asarray(stream, dtype=np.int8))
+    return framer
+
+
+def test_mjd_conversion_round_trips_against_datetime():
+    for ordinal in range(datetime.date(1990, 1, 1).toordinal(),
+                         datetime.date(2035, 1, 1).toordinal(), 97):
+        day = datetime.date.fromordinal(ordinal)
+        mjd = synth.date_to_mjd(day.year, day.month, day.day)
+        assert mjd == ordinal - _MJD_EPOCH_ORDINAL
+        assert mjd_to_date(mjd) == (day.year, day.month, day.day)
+
+
+def test_clocktime_group_decodes_in_both_framers():
+    g = synth.clocktime_group(0x54A8, 5, 2026, 8, 18, 14, 37,
+                              offset_half_hours=-9)
+    for framer in (RdsFramer(), SyncByOffsetDecoder()):
+        _feed(framer, [g], repeats=4)
+        assert framer.events.clock_utc == "2026-08-18 14:37 UTC-4.5", \
+            type(framer).__name__
+        assert framer.events.pi == 0x54A8
+
+
+def test_clocktime_rejects_invalid_fields():
+    g = synth.clocktime_group(0x54A8, 5, 2026, 8, 18, 14, 37)
+    g[3] = (g[3] & ~(0x3F << 6)) | (61 << 6)  # minute = 61: invalid
+    fr = _feed(RdsFramer(), [g], repeats=4)
+    assert fr.events.clock_utc is None
+    assert fr.events.groups_decoded > 0  # the group itself was assembled
+
+
+def test_radiotext_2b_decodes_in_both_framers():
+    groups = synth.radiotext_2b_groups(0x3100, 1, "SHORT 2B MESSAGE")
+    for framer in (RdsFramer(), SyncByOffsetDecoder()):
+        _feed(framer, groups)
+        assert framer.events.radiotext.startswith("SHORT 2B MESSAGE"), \
+            type(framer).__name__
+
+
+def test_version_b_groups_use_c_prime_offset():
+    """Block 3 of a version-B group must carry the C' offset word."""
+    g = synth.encode_group(0x1000, 2, 0, 0, 0x1000, 0x4142, version_b=True)
+    bits = synth.group_to_bits(g)
+    block3 = 0
+    for b in bits[52:78]:
+        block3 = (block3 << 1) | b
+    check = block3 & 0x3FF
+    from real_time_sdr_tpu.ops.rds_bits import _crc_remainder
+    assert check == (_crc_remainder(0x1000, 16) ^ 0x350)  # C', not C (0x168)
+
+
+def test_mixed_group_schedule_full_station_metadata():
+    """A realistic schedule: PS + 2A RadioText + CT interleaved."""
+    pi, pty = 0x2B1C, 9
+    groups = (synth.ps_groups(pi, pty, "TPU SDR ")
+              + synth.radiotext_groups(pi, pty, "ALL GROUP TYPES AT ONCE")
+              + [synth.clocktime_group(pi, pty, 2031, 12, 31, 23, 59,
+                                       offset_half_hours=2)])
+    fr = _feed(RdsFramer(), groups, repeats=2)
+    assert fr.events.ps_name == "TPU SDR "
+    assert fr.events.radiotext.startswith("ALL GROUP TYPES AT ONCE")
+    assert fr.events.clock_utc == "2031-12-31 23:59 UTC+1.0"
