@@ -244,6 +244,9 @@ def main(argv=None) -> int:
             print(f"RadioText: {val}", file=sys.stderr)
         elif kind == "clock":
             print(f"Clock Time: {val}", file=sys.stderr)
+        elif kind == "af":
+            print("Alternative Frequencies: "
+                  + ", ".join(f"{f:.1f}" for f in val), file=sys.stderr)
 
     framer = RdsFramer(on_event=emit) if rds else None
 

@@ -51,6 +51,11 @@ class RdsEvents:
     ps_name: str | None = None
     radiotext: str = " " * 64
     clock_utc: str | None = None
+    traffic_program: bool | None = None    # TP (block B bit 10)
+    traffic_announcement: bool | None = None  # TA (0A/0B block B bit 4)
+    music: bool | None = None              # M/S flag (0A/0B block B bit 3)
+    di: int | None = None                  # decoder-identification, 4 bits
+    alt_freqs_mhz: tuple[float, ...] = ()  # AF list (0A block C)
     groups_decoded: int = 0
 
 
@@ -73,11 +78,25 @@ class _GroupParsing:
         group_type = (b >> 12) & 0xF
         version_b = (b >> 11) & 1
         ev.pty = PTY_NAMES[(b >> 5) & 0x1F]
+        ev.traffic_program = bool((b >> 10) & 1)
         ev.groups_decoded += 1
         self._on_event("group", (ev.pi, group_type, ev.pty))
         if group_type == 0:
             # 0A and 0B both carry the PS segment in block D
             placement = b & 0x3
+            ev.traffic_announcement = bool((b >> 4) & 1)
+            ev.music = bool((b >> 3) & 1)
+            di_bit = (b >> 2) & 1  # one DI bit per group, MSB at segment 0
+            shift = 3 - placement
+            ev.di = ((ev.di or 0) & ~(1 << shift)) | (di_bit << shift)
+            if not version_b:
+                for code in ((c >> 8) & 0xFF, c & 0xFF):
+                    if 1 <= code <= 204:   # AF: 87.6 + 0.1*code MHz
+                        mhz = round(87.5 + 0.1 * code, 1)
+                        if mhz not in ev.alt_freqs_mhz:
+                            ev.alt_freqs_mhz = tuple(sorted(
+                                ev.alt_freqs_mhz + (mhz,)))
+                            self._on_event("af", ev.alt_freqs_mhz)
             mask = ~(0xFFFF << (48 - 16 * placement)) & ((1 << 64) - 1)
             self._ps_chars = (self._ps_chars & mask) | (
                 d << (16 * (3 - placement)))

@@ -54,14 +54,28 @@ def group_to_bits(words: list[int]) -> list[int]:
     return bits
 
 
-def ps_groups(pi: int, pty: int, ps_name: str) -> list[list[int]]:
-    """Group-type-0 sequence carrying an 8-char Program Service name."""
+def ps_groups(pi: int, pty: int, ps_name: str, *,
+              af_mhz: tuple[float, ...] = (), tp: bool = False,
+              ta: bool = False, music: bool = False,
+              di: int = 0) -> list[list[int]]:
+    """Group-type-0A sequence carrying an 8-char Program Service name,
+    optionally with an AF list (block C), TP/TA/MS flags and DI bits."""
     assert len(ps_name) == 8
+    af_codes = [int(round((f - 87.5) * 10)) for f in af_mhz]
+    assert all(1 <= code <= 204 for code in af_codes), af_mhz
+    if len(af_codes) % 2:
+        af_codes.append(205)  # filler code
     out = []
     for placement in range(4):
         c0, c1 = ps_name[2 * placement], ps_name[2 * placement + 1]
-        out.append(encode_group(pi, 0, pty, placement, 0x0000,
-                                (ord(c0) << 8) | ord(c1)))
+        cword = 0x0000
+        if 2 * placement < len(af_codes):
+            cword = (af_codes[2 * placement] << 8) | af_codes[2 * placement + 1]
+        g = encode_group(pi, 0, pty, placement, cword,
+                         (ord(c0) << 8) | ord(c1))
+        g[1] |= ((int(tp) << 10) | (int(ta) << 4) | (int(music) << 3)
+                 | (((di >> (3 - placement)) & 1) << 2))
+        out.append(g)
     return out
 
 
@@ -203,6 +217,7 @@ def station_iq(cfg: ReceiverConfig, n_blocks: int, *,
                ps_name: str = "TPU-FM  ", pi: int = 0x3A5C, pty: int = 5,
                radiotext: str | None = None,
                clock: tuple[int, ...] | None = None,
+               af_mhz: tuple[float, ...] = (),
                tone_left: float = 440.0, tone_right: float = 1200.0,
                **kw) -> tuple[np.ndarray, dict]:
     """Convenience: a full station with stereo tones + RDS PS (and optionally
@@ -213,7 +228,7 @@ def station_iq(cfg: ReceiverConfig, n_blocks: int, *,
     t = np.arange(n) / cfg.rf_fs
     left = np.sin(2 * np.pi * tone_left * t)
     right = np.sin(2 * np.pi * tone_right * t)
-    groups = ps_groups(pi, pty, ps_name)
+    groups = ps_groups(pi, pty, ps_name, af_mhz=af_mhz)
     if radiotext is not None:
         groups = groups + radiotext_groups(pi, pty, radiotext)
     if clock is not None:

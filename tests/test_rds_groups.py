@@ -76,6 +76,31 @@ def test_version_b_groups_use_c_prime_offset():
     assert check == (_crc_remainder(0x1000, 16) ^ 0x350)  # C', not C (0x168)
 
 
+def test_type0_flags_af_and_di_decode():
+    groups = synth.ps_groups(0x54A8, 5, "FLAGTEST",
+                             af_mhz=(98.1, 101.5, 87.6), tp=True, ta=True,
+                             music=True, di=0b1010)
+    for framer in (RdsFramer(), SyncByOffsetDecoder()):
+        _feed(framer, groups, repeats=2)
+        ev = framer.events
+        assert ev.ps_name == "FLAGTEST", type(framer).__name__
+        assert ev.traffic_program is True
+        assert ev.traffic_announcement is True
+        assert ev.music is True
+        assert ev.di == 0b1010
+        assert ev.alt_freqs_mhz == (87.6, 98.1, 101.5)
+
+
+def test_type0_defaults_leave_flags_off_and_af_empty():
+    fr = _feed(RdsFramer(), synth.ps_groups(0x54A8, 5, "PLAINPSN"),
+               repeats=2)
+    ev = fr.events
+    assert ev.ps_name == "PLAINPSN"
+    assert ev.traffic_program is False and ev.traffic_announcement is False
+    assert ev.music is False and ev.di == 0
+    assert ev.alt_freqs_mhz == ()
+
+
 def test_mixed_group_schedule_full_station_metadata():
     """A realistic schedule: PS + 2A RadioText + CT interleaved."""
     pi, pty = 0x2B1C, 9
