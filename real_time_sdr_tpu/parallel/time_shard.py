@@ -70,8 +70,10 @@ def time_sharded_run(rx: Receiver, mesh: Mesh, blocks: jax.Array,
     B must be divisible by the mesh axis size. Returns the stacked
     ReceiverOutput for all B blocks (leading axis B, time-ordered).
 
-    exact=True (default for all-tier-3 receivers): audio and RDS bits match
-    the sequential ``rx.run_blocks`` bit-for-bit (see module docstring).
+    exact=True (default for all-tier-3 receivers): RDS bits match the
+    sequential ``rx.run_blocks`` bit-for-bit; audio matches to float32
+    reduction order (>120 dB — the boundary phase correction is
+    algebraically exact but rounds in the last ulp; see module docstring).
     exact=False: per-shard warm-up re-acquisition; steady-state audio
     matches within SNR bounds, RDS bits are per-shard re-aligned.
     """

@@ -101,6 +101,29 @@ def test_type0_defaults_leave_flags_off_and_af_empty():
     assert ev.alt_freqs_mhz == ()
 
 
+def test_framers_survive_random_streams_and_recover():
+    """Fuzz: arbitrary bit garbage must never raise, corrupt parser state,
+    or prevent re-acquisition once a clean signal returns."""
+    rng = np.random.default_rng(42)
+    groups = synth.ps_groups(0x54A8, 5, "RECOVERY")
+    clean = []
+    for _ in range(3):
+        for g in groups:
+            clean.extend(synth.group_to_bits(g))
+    for framer in (RdsFramer(), SyncByOffsetDecoder()):
+        # phase 1: pure noise in awkward chunk sizes (incl. empty)
+        for size in (0, 1, 7, 25, 26, 27, 104, 1000):
+            framer.feed(rng.integers(0, 2, size).astype(np.int8))
+        # phase 2: clean groups with bit errors sprinkled in
+        noisy = np.asarray(clean, dtype=np.int8)
+        flip = rng.integers(0, len(noisy), 12)
+        noisy[flip] ^= 1
+        framer.feed(noisy)
+        # phase 3: clean signal again -> must decode
+        framer.feed(np.asarray(clean, dtype=np.int8))
+        assert framer.events.ps_name == "RECOVERY", type(framer).__name__
+
+
 def test_mixed_group_schedule_full_station_metadata():
     """A realistic schedule: PS + 2A RadioText + CT interleaved."""
     pi, pty = 0x2B1C, 9
