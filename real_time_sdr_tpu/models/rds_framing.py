@@ -30,6 +30,7 @@ _H = parity_matrix_np()  # (26, 10)
 _SYNDROME_VALUES = np.array(
     [OFFSET_SYNDROMES[k] for k in ("A", "B", "C", "Cp", "D")], dtype=np.int64)
 _OFFSET_NAMES = ("A", "B", "C", "Cp", "D")
+_NEXT_OFFSET = {"A": "B", "B": "C", "C": "D", "Cp": "D", "D": "A"}
 
 PTY_NAMES = [
     "Undefined", "News", "Information", "Sports", "Talk", "Rock",
@@ -57,6 +58,7 @@ class RdsEvents:
     di: int | None = None                  # decoder-identification, 4 bits
     alt_freqs_mhz: tuple[float, ...] = ()  # AF list (0A block C)
     groups_decoded: int = 0
+    blocks_corrected: int = 0  # blocks recovered by burst-error correction
 
 
 class _GroupParsing:
@@ -124,6 +126,58 @@ class _GroupParsing:
                 self._on_event("clock", ct)
 
 
+_BURST_TABLE: dict[int, tuple[int, int]] | None = None
+
+
+def burst_error_table() -> dict[int, tuple[int, int]]:
+    """error-syndrome -> (26-bit error pattern, burst length), length <= 5.
+
+    The RBDS shortened cyclic code is designed to correct any single error
+    burst spanning <= 5 bits per 26-bit block; the reference only DETECTS
+    errors (check_block, src/rds_utilities.cpp:352-381). Meggitt decoding
+    reduces to this lookup: syndromes are linear, so for received
+    r = codeword + offset + e, syndrome(e) = syndrome(r) XOR the expected
+    offset's syndrome, and each correctable burst has a unique syndrome
+    within the design distance (shorter bursts enumerate first and claim
+    any alias)."""
+    global _BURST_TABLE
+    if _BURST_TABLE is None:
+        weights = 1 << np.arange(9, -1, -1, dtype=np.int64)
+        table: dict[int, tuple[int, int]] = {}
+        for length in range(1, 6):
+            n_free = max(0, length - 2)
+            for start in range(0, 27 - length):
+                for mid in range(1 << n_free):
+                    bits = np.zeros(26, dtype=np.int64)
+                    bits[start] = 1
+                    bits[start + length - 1] = 1
+                    for j in range(n_free):
+                        if (mid >> j) & 1:
+                            bits[start + 1 + j] = 1
+                    syn = int(((bits @ _H) % 2) @ weights)
+                    pattern = 0
+                    for i in range(26):
+                        pattern = (pattern << 1) | int(bits[i])
+                    table.setdefault(syn, (pattern, length))
+        _BURST_TABLE = table
+    return _BURST_TABLE
+
+
+def correct_block(word26: int, syndrome: int, expect: str,
+                  max_burst: int) -> int | None:
+    """Try burst correction of a received 26-bit block against the offset
+    expected at its position. Returns the corrected word, or None.
+
+    max_burst bounds the accepted burst span: the code corrects up to 5,
+    but a random garbage block aliases to SOME <=5 burst ~36% of the time
+    vs ~5% for <=2, so short limits keep false corrections rare."""
+    err_syn = syndrome ^ OFFSET_SYNDROMES[expect]
+    hit = burst_error_table().get(err_syn)
+    if hit is None or hit[1] > max_burst:
+        return None
+    return word26 ^ hit[0]
+
+
 def mjd_to_date(mjd: int) -> tuple[int, int, int]:
     """Modified Julian Date -> (year, month, day), per the RDS spec annex."""
     yp = int((mjd - 15078.2) / 365.25)
@@ -147,9 +201,14 @@ def _parse_clocktime(b: int, c: int, d: int) -> str | None:
 
 
 class RdsFramer(_GroupParsing):
-    """Streaming frame sync + group assembly for one channel."""
+    """Streaming frame sync + group assembly for one channel.
 
-    def __init__(self, on_event: Callable[[str, object], None] | None = None):
+    Beyond the reference's detect-only walk, blocks that fail the syndrome
+    check at a position where the expected offset is known get one Meggitt
+    burst-correction attempt (``correct_bursts``, see correct_block)."""
+
+    def __init__(self, on_event: Callable[[str, object], None] | None = None,
+                 correct_bursts: int = 2):
         self._tail = np.zeros(0, dtype=np.int8)
         self._reg = 0            # 64-bit group register (uint_copy twin)
         self._window: list[str] = []
@@ -157,6 +216,14 @@ class RdsFramer(_GroupParsing):
         self._rt = [" "] * 64
         self.events = RdsEvents()
         self._on_event = on_event or (lambda kind, val: None)
+        # correct_bursts = max burst span to repair (0 disables, code limit
+        # 5). Correction is attempted ONLY at the position 26 bits after
+        # >=2 consecutively accepted blocks (where the next offset word is
+        # known), at most 2 corrections in a row — never while hunting
+        self.correct_bursts = int(correct_bursts)
+        self._expect: str | None = None
+        self._run = 0          # consecutive accepted blocks
+        self._corr_streak = 0  # consecutive corrected blocks
 
     # -- syndrome machinery ------------------------------------------------
 
@@ -193,9 +260,37 @@ class RdsFramer(_GroupParsing):
                 for b in window[:16]:
                     data16 = (data16 << 1) | int(b)
                 self._block(name, data16)
+                self._expect = _NEXT_OFFSET[name]
+                self._run += 1
+                self._corr_streak = 0
                 idx += 26
-            else:
-                idx += 1
+                continue
+            if (self.correct_bursts and self._expect is not None
+                    and self._run >= 2 and self._corr_streak < 2):
+                # exactly one block after a run of accepted ones: try
+                # Meggitt correction against the expected offset (C' at C)
+                word = 0
+                for b in stream[idx:idx + 26]:
+                    word = (word << 1) | int(b)
+                fixed = None
+                for name in (("C", "Cp") if self._expect == "C"
+                             else (self._expect,)):
+                    fixed = correct_block(word, int(synd[idx]), name,
+                                          self.correct_bursts)
+                    if fixed is not None:
+                        break
+                if fixed is not None:
+                    self.events.blocks_corrected += 1
+                    self._block(name, fixed >> 10)
+                    self._expect = _NEXT_OFFSET[name]
+                    self._run += 1
+                    self._corr_streak += 1
+                    idx += 26
+                    continue
+            self._expect = None
+            self._run = 0
+            self._corr_streak = 0
+            idx += 1
         self._tail = stream[idx:].copy()
 
     # -- group assembly ----------------------------------------------------
@@ -235,10 +330,16 @@ class SyncByOffsetDecoder(_GroupParsing):
     _BY_POS = ["A", "B", "C", "D"]
 
     def __init__(self, on_event: Callable[[str, object], None] | None = None,
-                 lose_threshold: int = 40, window_blocks: int = 50):
+                 lose_threshold: int = 40, window_blocks: int = 50,
+                 correct_bursts: int = 2):
         self._on_event = on_event or (lambda kind, val: None)
         self.lose_threshold = lose_threshold
         self.window_blocks = window_blocks
+        # in synced mode the expected offset word is known per position, so
+        # failed blocks get one Meggitt burst-correction attempt spanning
+        # <= correct_bursts bits (0 disables, code limit 5); corrected
+        # blocks do not count toward sync loss
+        self.correct_bursts = int(correct_bursts)
         self._reg = 0
         self._bit_count = 0
         self.synced = False
@@ -303,6 +404,17 @@ class SyncByOffsetDecoder(_GroupParsing):
             good = (checkword ^ offset_words[expect]) == self._crc16(data)
             if not good and self._block_pos == 2:  # C' fallback
                 good = (checkword ^ offset_words["Cp"]) == self._crc16(data)
+            if not good and self.correct_bursts:
+                syn = self._syndrome(self._reg)
+                for name in ((expect, "Cp") if self._block_pos == 2
+                             else (expect,)):
+                    fixed = correct_block(self._reg, syn, name,
+                                          self.correct_bursts)
+                    if fixed is not None:
+                        data = (fixed >> 10) & 0xFFFF
+                        self.events.blocks_corrected += 1
+                        good = True
+                        break
             if good:
                 self._group[self._block_pos] = data
                 if self._block_pos == 3 and all(

@@ -101,6 +101,73 @@ def test_type0_defaults_leave_flags_off_and_af_empty():
     assert ev.alt_freqs_mhz == ()
 
 
+def test_burst_error_table_is_collision_free():
+    from real_time_sdr_tpu.models.rds_framing import burst_error_table
+    table = burst_error_table()
+    # bursts spanning <=5 bits in 26 positions: 26+25+2*24+4*23+8*22
+    assert len(table) == 26 + 25 + 2 * 24 + 4 * 23 + 8 * 22  # 367, no alias
+    from real_time_sdr_tpu.ops.rds_bits import _crc_remainder
+    for syn, (pattern, length) in list(table.items())[::17]:
+        assert _crc_remainder(pattern, 26) == syn
+        span = pattern.bit_length() - (pattern & -pattern).bit_length() + 1
+        assert span == length <= 5
+
+
+def _bits_with_burst(groups, repeats, block_idx, burst, offset_in_block=4):
+    bits = []
+    for _ in range(repeats):
+        for g in groups:
+            bits.extend(synth.group_to_bits(g))
+    out = np.asarray(bits, dtype=np.int8)
+    pos = block_idx * 26 + offset_in_block
+    out[pos:pos + len(burst)] ^= np.asarray(burst, dtype=np.int8)
+    return out
+
+
+def test_burst_correction_recovers_groups_in_both_framers():
+    groups = synth.ps_groups(0x54A8, 5, "FIXEDPSN")
+    # corrupt 2 adjacent bits inside block 6 (a data block mid-stream)
+    dirty = _bits_with_burst(groups, 3, block_idx=6, burst=[1, 1])
+    for cls in (RdsFramer, SyncByOffsetDecoder):
+        fixed = cls()
+        fixed.feed(dirty)
+        assert fixed.events.blocks_corrected >= 1, cls.__name__
+        assert fixed.events.ps_name == "FIXEDPSN", cls.__name__
+
+
+def test_burst_correction_respects_max_span():
+    groups = synth.ps_groups(0x54A8, 5, "SPANSPAN")
+    # a 5-bit burst: beyond the default <=2 limit, within the code's 5
+    dirty = _bits_with_burst(groups, 3, block_idx=6, burst=[1, 0, 1, 0, 1])
+    fr = RdsFramer()  # default correct_bursts=2
+    fr.feed(dirty)
+    assert fr.events.blocks_corrected == 0
+    fr5 = RdsFramer(correct_bursts=5)
+    fr5.feed(dirty)
+    assert fr5.events.blocks_corrected >= 1
+    assert fr5.events.ps_name == "SPANSPAN"
+    off = RdsFramer(correct_bursts=0)
+    off.feed(dirty)
+    assert off.events.blocks_corrected == 0
+
+
+def test_burst_correction_improves_group_survival_at_ber():
+    """At BER 3e-3 most failures are single-bit: correction should roughly
+    triple group survival (analytically 73% -> 99% for 4-block groups)."""
+    rng = np.random.default_rng(3)
+    groups = synth.ps_groups(0x54A8, 5, "SURVIVAL") * 60  # 240 groups
+    bits = np.asarray([b for g in groups for b in synth.group_to_bits(g)],
+                      dtype=np.int8)
+    noisy = bits ^ (rng.random(len(bits)) < 3e-3).astype(np.int8)
+    plain = RdsFramer(correct_bursts=0)
+    plain.feed(noisy)
+    corr = RdsFramer()
+    corr.feed(noisy)
+    assert corr.events.blocks_corrected > 10
+    assert corr.events.groups_decoded > plain.events.groups_decoded * 1.2
+    assert corr.events.groups_decoded > 0.9 * len(groups)
+
+
 def test_framers_survive_random_streams_and_recover():
     """Fuzz: arbitrary bit garbage must never raise, corrupt parser state,
     or prevent re-acquisition once a clean signal returns."""
