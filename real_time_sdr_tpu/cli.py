@@ -15,6 +15,7 @@ fetched and written.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -125,6 +126,15 @@ def run_wideband(args, rx, cfg) -> int:
             print(f"resumed state from {args.checkpoint}", file=sys.stderr)
         except FileNotFoundError:
             pass
+        if framers is not None:
+            try:
+                with open(args.checkpoint + ".rds.json") as f:
+                    for fr, d in zip(framers, json.load(f)):
+                        fr.load_state_dict(d)
+                print(f"resumed {len(framers)} RDS framers from "
+                      f"{args.checkpoint}.rds.json", file=sys.stderr)
+            except FileNotFoundError:
+                pass
     if args.warmup:
         t0 = time.perf_counter()
         zi = jnp.zeros((block_pairs,), jnp.float32)
@@ -168,6 +178,9 @@ def run_wideband(args, rx, cfg) -> int:
         f.close()
     if args.checkpoint:
         state_util.save_state(args.checkpoint, (cstate, bstate))
+        if framers is not None:
+            with open(args.checkpoint + ".rds.json", "w") as f:
+                json.dump([fr.state_dict() for fr in framers], f)
         print(f"saved state to {args.checkpoint}", file=sys.stderr)
     if args.stats and n_blocks:
         print(f"total: {n_blocks} blocks, avg {t_total/n_blocks*1e3:.2f} ms"
@@ -249,6 +262,14 @@ def main(argv=None) -> int:
                   + ", ".join(f"{f:.1f}" for f in val), file=sys.stderr)
 
     framer = RdsFramer(on_event=emit) if rds else None
+    if framer is not None and args.checkpoint:
+        try:
+            with open(args.checkpoint + ".rds.json") as f:
+                framer.load_state_dict(json.load(f))
+            print(f"resumed RDS framer from {args.checkpoint}.rds.json",
+                  file=sys.stderr)
+        except FileNotFoundError:
+            pass
 
     def read_block():
         buf = reader.next()
@@ -308,6 +329,9 @@ def main(argv=None) -> int:
 
     if args.checkpoint:
         state_util.save_state(args.checkpoint, state)
+        if framer is not None:
+            with open(args.checkpoint + ".rds.json", "w") as f:
+                json.dump(framer.state_dict(), f)
         print(f"saved state to {args.checkpoint}", file=sys.stderr)
     if args.stats and n_blocks:
         print(f"total: {n_blocks} blocks, avg {t_total/n_blocks*1e3:.2f} ms"

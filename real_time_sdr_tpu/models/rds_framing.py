@@ -309,6 +309,37 @@ class RdsFramer(_GroupParsing):
         self._parse_group_words((g >> 48) & 0xFFFF, (g >> 32) & 0xFFFF,
                                 (g >> 16) & 0xFFFF, g & 0xFFFF)
 
+    # -- checkpoint/resume ---------------------------------------------------
+    # The device DSP state is a pytree (utils/state.py); this is its host
+    # twin, so a resumed decode continues mid-group with no re-sync.
+
+    def state_dict(self) -> dict:
+        """JSON-serializable snapshot of sync + parser + events state."""
+        return {
+            "tail": [int(b) for b in self._tail],
+            "reg": self._reg,
+            "window": list(self._window),
+            "ps_chars": self._ps_chars,
+            "rt": "".join(self._rt),
+            "expect": self._expect,
+            "run": self._run,
+            "corr_streak": self._corr_streak,
+            "events": dataclasses.asdict(self.events),
+        }
+
+    def load_state_dict(self, d: dict) -> None:
+        self._tail = np.asarray(d["tail"], dtype=np.int8)
+        self._reg = int(d["reg"])
+        self._window = list(d["window"])
+        self._ps_chars = int(d["ps_chars"])
+        self._rt = list(d["rt"])
+        self._expect = d["expect"]
+        self._run = int(d["run"])
+        self._corr_streak = int(d["corr_streak"])
+        ev = dict(d["events"])
+        ev["alt_freqs_mhz"] = tuple(ev.get("alt_freqs_mhz", ()))
+        self.events = RdsEvents(**ev)
+
 
 class SyncByOffsetDecoder(_GroupParsing):
     """Alternative framer: GNU-Radio-style sync-by-offset state machine.
@@ -438,3 +469,36 @@ class SyncByOffsetDecoder(_GroupParsing):
     def _parse_group(self) -> None:
         a, bw, c, d = self._group
         self._parse_group_words(a, bw, c, d)
+
+    def state_dict(self) -> dict:
+        """JSON-serializable snapshot (checkpoint twin of RdsFramer's)."""
+        return {
+            "reg": self._reg,
+            "bit_count": self._bit_count,
+            "synced": self.synced,
+            "presync": list(self._presync) if self._presync else None,
+            "block_bits": self._block_bits,
+            "block_pos": self._block_pos,
+            "blocks_seen": self._blocks_seen,
+            "wrong_blocks": self._wrong_blocks,
+            "group": list(self._group),
+            "ps_chars": self._ps_chars,
+            "rt": "".join(self._rt),
+            "events": dataclasses.asdict(self.events),
+        }
+
+    def load_state_dict(self, d: dict) -> None:
+        self._reg = int(d["reg"])
+        self._bit_count = int(d["bit_count"])
+        self.synced = bool(d["synced"])
+        self._presync = tuple(d["presync"]) if d["presync"] else None
+        self._block_bits = int(d["block_bits"])
+        self._block_pos = int(d["block_pos"])
+        self._blocks_seen = int(d["blocks_seen"])
+        self._wrong_blocks = int(d["wrong_blocks"])
+        self._group = list(d["group"])
+        self._ps_chars = int(d["ps_chars"])
+        self._rt = list(d["rt"])
+        ev = dict(d["events"])
+        ev["alt_freqs_mhz"] = tuple(ev.get("alt_freqs_mhz", ()))
+        self.events = RdsEvents(**ev)

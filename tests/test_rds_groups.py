@@ -191,6 +191,41 @@ def test_framers_survive_random_streams_and_recover():
         assert framer.events.ps_name == "RECOVERY", type(framer).__name__
 
 
+def test_framer_state_roundtrips_through_json():
+    """Checkpoint/resume for the host framers: splitting the bit stream at
+    an awkward point (mid-group) and JSON-round-tripping the state must
+    give identical events to an uninterrupted decode."""
+    import json
+
+    pi, pty = 0x2B1C, 9
+    groups = (synth.ps_groups(pi, pty, "RESUMED!", af_mhz=(99.9,))
+              + synth.radiotext_groups(pi, pty, "SPLIT ACROSS RUNS")
+              + [synth.clocktime_group(pi, pty, 2026, 8, 18, 3, 7)])
+    bits = []
+    for _ in range(3):
+        for g in groups:
+            bits.extend(synth.group_to_bits(g))
+    rng = np.random.default_rng(5)
+    stream = np.asarray(list(rng.integers(0, 2, 31)) + bits, dtype=np.int8)
+    cut = len(stream) // 2 + 13  # mid-block, mid-group
+
+    for cls in (RdsFramer, SyncByOffsetDecoder):
+        whole = cls()
+        whole.feed(stream)
+
+        first = cls()
+        first.feed(stream[:cut])
+        blob = json.dumps(first.state_dict())  # through real JSON
+        resumed = cls()
+        resumed.load_state_dict(json.loads(blob))
+        resumed.feed(stream[cut:])
+
+        assert resumed.events == whole.events, cls.__name__
+        # and the internal walk state converged too: both decode nothing
+        # further from an empty feed
+        resumed.feed(np.zeros(0, dtype=np.int8))
+
+
 def test_mixed_group_schedule_full_station_metadata():
     """A realistic schedule: PS + 2A RadioText + CT interleaved."""
     pi, pty = 0x2B1C, 9
