@@ -84,11 +84,18 @@ def _start_cpu_insurance() -> subprocess.Popen | None:
 
 
 def _collect_cpu_insurance(proc: subprocess.Popen | None,
-                           timeout_s: float) -> dict | None:
+                           timeout_s: float | None) -> dict | None:
+    """Harvest the insurance subprocess. timeout_s=None -> non-blocking:
+    only parse if the child already exited (leave it running otherwise)."""
     if proc is None:
         return None
     try:
-        out, _ = proc.communicate(timeout=max(5.0, timeout_s))
+        if timeout_s is None:
+            if proc.poll() is None:
+                return None
+            out, _ = proc.communicate(timeout=1.0)
+        else:
+            out, _ = proc.communicate(timeout=max(5.0, timeout_s))
         for line in out.splitlines():
             line = line.strip()
             if line.startswith("{"):
@@ -104,14 +111,22 @@ def _tpu_probe(timeout_s: float) -> bool:
 
     The axon tunnel, when unhealthy, wedges backend init indefinitely with
     no error; probing in a child process keeps this process from hanging at
-    its first device touch and lets us wait out a transient outage."""
+    its first device touch and lets us wait out a transient outage. The
+    probe also rejects a CPU fallback backend (a fast-FAILING plugin would
+    otherwise pass the probe and burn the budget running rungs on CPU
+    under a TPU-implying label)."""
     code = ("import jax, numpy as np, jax.numpy as jnp;"
-            "print('PROBE', float(np.asarray(jnp.arange(8.0)[3] * 2)))")
+            "v = float(np.asarray(jnp.arange(8.0)[3] * 2));"
+            "print('PROBE', v, jax.default_backend())")
     try:
         out = subprocess.run([sys.executable, "-c", code],
                              capture_output=True, text=True,
                              timeout=max(10.0, timeout_s))
-        return out.returncode == 0 and "PROBE 6.0" in out.stdout
+        if out.returncode != 0:
+            return False
+        fields = out.stdout.strip().split()
+        return (len(fields) >= 3 and fields[0] == "PROBE"
+                and fields[1] == "6.0" and fields[2] != "cpu")
     except Exception:  # noqa: BLE001 - timeout or spawn failure
         return False
 
@@ -176,18 +191,20 @@ def main() -> None:
     tunnel_ok = args.cpu
     while not tunnel_ok:
         tunnel_ok = _tpu_probe(min(90.0, remaining() - 30.0))
+        # harvest the insurance number the moment it's ready, so a driver
+        # SIGTERM mid-probe-loop still emits a valid JSON line
+        _result = _better(_collect_cpu_insurance(ins_proc, None), _result)
         if tunnel_ok or remaining() < 150.0:
             break
         print(f"# device tunnel unresponsive; retrying probe "
               f"({remaining():.0f}s budget left)", file=sys.stderr)
         time.sleep(min(20.0, max(0.0, remaining() - 140.0)))
 
-    if ins_proc is not None:
+    if not tunnel_ok:
+        # last chance for the fallback number: block on the child
         _result = _better(
             _collect_cpu_insurance(ins_proc, min(150.0, remaining() * 0.6)),
             _result)
-
-    if not tunnel_ok:
         print("# device tunnel down for the whole budget; reporting the "
               "CPU fallback number", file=sys.stderr)
         return  # atexit emits the best result
@@ -410,6 +427,15 @@ def main() -> None:
     if args.stats and _result is not None:
         from real_time_sdr_tpu.utils.logging import speed_of_light_report
         speed_of_light_report(rx, file=sys.stderr)
+
+    # harvest (or retire) the still-running insurance child before emitting
+    if ins_proc is not None and ins_proc.poll() is None and _result is None:
+        _result = _better(
+            _collect_cpu_insurance(ins_proc, max(5.0, remaining())), _result)
+    else:
+        _result = _better(_collect_cpu_insurance(ins_proc, None), _result)
+    if ins_proc is not None and ins_proc.poll() is None:
+        ins_proc.kill()
 
     _emit()
 

@@ -25,19 +25,21 @@ from real_time_sdr_tpu.utils.io import write_wav
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    mode = 0
-    if "--mode" in sys.argv:
-        mode = int(sys.argv[sys.argv.index("--mode") + 1])
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("capture", nargs="?", default=None)
+    ap.add_argument("out_wav", nargs="?", default="mono.wav")
+    ap.add_argument("--mode", type=int, default=0)
+    args = ap.parse_args()
 
-    rx = Receiver(mode, stereo=False, rds=False)
+    rx = Receiver(args.mode, stereo=False, rds=False)
     cfg = rx.cfg
 
-    if args:
-        iq = np.fromfile(args[0], dtype=np.uint8)
+    if args.capture:
+        iq = np.fromfile(args.capture, dtype=np.uint8)
         n_blocks = iq.size // (2 * cfg.block_size_iq)
         iq = iq[:n_blocks * 2 * cfg.block_size_iq]
-        print(f"loaded {args[0]}: {n_blocks} blocks")
+        print(f"loaded {args.capture}: {n_blocks} blocks")
     else:
         iq, _ = synth.station_iq(cfg, 24)
         print("synthesized 24 blocks (440 Hz left / 1200 Hz right tones)")
@@ -46,7 +48,7 @@ def main() -> None:
     state, out = rx.run_segment(state, jnp.asarray(iq))
     audio = np.asarray(out.mono).ravel()
 
-    out_path = args[1] if len(args) > 1 else "mono.wav"
+    out_path = args.out_wav
     write_wav(out_path, audio, cfg.audio_fs, stereo=False)
     print(f"wrote {out_path}: {audio.size} samples at {cfg.audio_fs} Hz "
           f"({audio.size / cfg.audio_fs:.2f} s), peak {np.abs(audio).max():.3f}")

@@ -26,16 +26,17 @@ from real_time_sdr_tpu.utils import synth
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    mode = 0
-    if "--mode" in sys.argv:
-        mode = int(sys.argv[sys.argv.index("--mode") + 1])
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("capture", nargs="?", default=None)
+    ap.add_argument("--mode", type=int, default=0)
+    args = ap.parse_args()
 
-    rx = Receiver(mode, stereo=True, rds=True, pll_tier=3)
+    rx = Receiver(args.mode, stereo=True, rds=True, pll_tier=3)
     cfg = rx.cfg
 
-    if args:
-        iq = np.fromfile(args[0], dtype=np.uint8)
+    if args.capture:
+        iq = np.fromfile(args.capture, dtype=np.uint8)
         n_blocks = iq.size // (2 * cfg.block_size_iq)
         iq = iq[:n_blocks * 2 * cfg.block_size_iq]
     else:
@@ -54,8 +55,8 @@ def main() -> None:
         framer.feed(bits[b, :nbits[b]])
 
     ev = framer.events
-    print(f"\nstation summary: PI={ev.pi:#06x} PTY={ev.pty!r} "
-          f"PS={ev.ps_name!r}")
+    pi = f"{ev.pi:#06x}" if ev.pi is not None else "never synced"
+    print(f"\nstation summary: PI={pi} PTY={ev.pty!r} PS={ev.ps_name!r}")
     print(f"  RadioText: {ev.radiotext.rstrip()!r}")
     print(f"  Clock:     {ev.clock_utc}")
     print(f"  AF:        {ev.alt_freqs_mhz} MHz  TP={ev.traffic_program}")

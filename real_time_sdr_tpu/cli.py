@@ -77,6 +77,14 @@ def make_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def _atomic_json(path: str, obj) -> None:
+    """Write-then-rename so a mid-dump kill never leaves a truncated file."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
 def run_wideband(args, rx, cfg) -> int:
     """Multi-station mode: channelize a wideband capture and decode every
     station in parallel through a channel bank."""
@@ -129,12 +137,22 @@ def run_wideband(args, rx, cfg) -> int:
         if framers is not None:
             try:
                 with open(args.checkpoint + ".rds.json") as f:
-                    for fr, d in zip(framers, json.load(f)):
-                        fr.load_state_dict(d)
-                print(f"resumed {len(framers)} RDS framers from "
-                      f"{args.checkpoint}.rds.json", file=sys.stderr)
+                    d = json.load(f)
+                if (d.get("kind") != "wideband"
+                        or d.get("stations") != offsets):
+                    print(f"warning: {args.checkpoint}.rds.json does not "
+                          f"match --stations {offsets}; starting framers "
+                          "fresh", file=sys.stderr)
+                else:
+                    for fr, fd in zip(framers, d["framers"]):
+                        fr.load_state_dict(fd)
+                    print(f"resumed {len(framers)} RDS framers from "
+                          f"{args.checkpoint}.rds.json", file=sys.stderr)
             except FileNotFoundError:
                 pass
+            except Exception as e:  # truncated/corrupt sidecar: never fatal
+                print(f"warning: could not resume RDS framer state ({e!r});"
+                      " starting fresh", file=sys.stderr)
     if args.warmup:
         t0 = time.perf_counter()
         zi = jnp.zeros((block_pairs,), jnp.float32)
@@ -179,8 +197,9 @@ def run_wideband(args, rx, cfg) -> int:
     if args.checkpoint:
         state_util.save_state(args.checkpoint, (cstate, bstate))
         if framers is not None:
-            with open(args.checkpoint + ".rds.json", "w") as f:
-                json.dump([fr.state_dict() for fr in framers], f)
+            _atomic_json(args.checkpoint + ".rds.json",
+                         {"kind": "wideband", "stations": offsets,
+                          "framers": [fr.state_dict() for fr in framers]})
         print(f"saved state to {args.checkpoint}", file=sys.stderr)
     if args.stats and n_blocks:
         print(f"total: {n_blocks} blocks, avg {t_total/n_blocks*1e3:.2f} ms"
@@ -265,11 +284,21 @@ def main(argv=None) -> int:
     if framer is not None and args.checkpoint:
         try:
             with open(args.checkpoint + ".rds.json") as f:
-                framer.load_state_dict(json.load(f))
-            print(f"resumed RDS framer from {args.checkpoint}.rds.json",
-                  file=sys.stderr)
+                d = json.load(f)
+            if d.get("kind") != "single":
+                print(f"warning: {args.checkpoint}.rds.json is not a "
+                      "single-station checkpoint; starting framer fresh",
+                      file=sys.stderr)
+            else:
+                framer.load_state_dict(d["framer"])
+                print(f"resumed RDS framer from {args.checkpoint}.rds.json",
+                      file=sys.stderr)
         except FileNotFoundError:
             pass
+        except Exception as e:  # truncated/corrupt sidecar: never fatal
+            print(f"warning: could not resume RDS framer state ({e!r}); "
+                  "starting fresh", file=sys.stderr)
+            framer = RdsFramer(on_event=emit)
 
     def read_block():
         buf = reader.next()
@@ -330,8 +359,8 @@ def main(argv=None) -> int:
     if args.checkpoint:
         state_util.save_state(args.checkpoint, state)
         if framer is not None:
-            with open(args.checkpoint + ".rds.json", "w") as f:
-                json.dump(framer.state_dict(), f)
+            _atomic_json(args.checkpoint + ".rds.json",
+                         {"kind": "single", "framer": framer.state_dict()})
         print(f"saved state to {args.checkpoint}", file=sys.stderr)
     if args.stats and n_blocks:
         print(f"total: {n_blocks} blocks, avg {t_total/n_blocks*1e3:.2f} ms"

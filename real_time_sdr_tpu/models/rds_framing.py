@@ -93,7 +93,7 @@ class _GroupParsing:
             ev.di = ((ev.di or 0) & ~(1 << shift)) | (di_bit << shift)
             if not version_b:
                 for code in ((c >> 8) & 0xFF, c & 0xFF):
-                    if 1 <= code <= 204:   # AF: 87.6 + 0.1*code MHz
+                    if 1 <= code <= 204:   # AF: 87.5 + 0.1*code MHz
                         mhz = round(87.5 + 0.1 * code, 1)
                         if mhz not in ev.alt_freqs_mhz:
                             ev.alt_freqs_mhz = tuple(sorted(
@@ -109,6 +109,10 @@ class _GroupParsing:
                 self._on_event("ps", name)
         elif group_type == 2:
             seg = b & 0xF
+            ab_flag = (b >> 4) & 1  # text A/B flag: toggle = new message,
+            if getattr(self, "_rt_flag", None) not in (None, ab_flag):
+                self._rt = [" "] * 64   # receiver must clear the old text
+            self._rt_flag = ab_flag
             if version_b:           # 2B: 2 chars per group from block D
                 pairs = ((d >> 8) & 0xFF, d & 0xFF)
                 base = seg * 2
@@ -324,6 +328,7 @@ class RdsFramer(_GroupParsing):
             "expect": self._expect,
             "run": self._run,
             "corr_streak": self._corr_streak,
+            "rt_flag": getattr(self, "_rt_flag", None),
             "events": dataclasses.asdict(self.events),
         }
 
@@ -336,6 +341,7 @@ class RdsFramer(_GroupParsing):
         self._expect = d["expect"]
         self._run = int(d["run"])
         self._corr_streak = int(d["corr_streak"])
+        self._rt_flag = d.get("rt_flag")
         ev = dict(d["events"])
         ev["alt_freqs_mhz"] = tuple(ev.get("alt_freqs_mhz", ()))
         self.events = RdsEvents(**ev)
@@ -484,6 +490,7 @@ class SyncByOffsetDecoder(_GroupParsing):
             "group": list(self._group),
             "ps_chars": self._ps_chars,
             "rt": "".join(self._rt),
+            "rt_flag": getattr(self, "_rt_flag", None),
             "events": dataclasses.asdict(self.events),
         }
 
@@ -499,6 +506,7 @@ class SyncByOffsetDecoder(_GroupParsing):
         self._group = list(d["group"])
         self._ps_chars = int(d["ps_chars"])
         self._rt = list(d["rt"])
+        self._rt_flag = d.get("rt_flag")
         ev = dict(d["events"])
         ev["alt_freqs_mhz"] = tuple(ev.get("alt_freqs_mhz", ()))
         self.events = RdsEvents(**ev)

@@ -79,15 +79,21 @@ def ps_groups(pi: int, pty: int, ps_name: str, *,
     return out
 
 
-def radiotext_groups(pi: int, pty: int, text: str) -> list[list[int]]:
-    """Group-type-2A sequence carrying up to 64 chars of RadioText."""
+def radiotext_groups(pi: int, pty: int, text: str,
+                     ab_flag: int = 0) -> list[list[int]]:
+    """Group-type-2A sequence carrying up to 64 chars of RadioText.
+
+    ab_flag is the text A/B flag (block B bit 4): toggling it between
+    messages tells receivers to clear the previous text."""
     text = text.ljust(4 * ((len(text) + 3) // 4))
     out = []
     for seg in range(len(text) // 4):
         chunk = text[4 * seg: 4 * seg + 4]
         c = (ord(chunk[0]) << 8) | ord(chunk[1])
         d = (ord(chunk[2]) << 8) | ord(chunk[3])
-        out.append(encode_group(pi, 2, pty, seg, c, d))
+        g = encode_group(pi, 2, pty, seg, c, d)
+        g[1] |= (ab_flag & 1) << 4
+        out.append(g)
     return out
 
 

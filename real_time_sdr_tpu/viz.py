@@ -209,21 +209,32 @@ def _ber_curve(cfg, args) -> int:
             ber = best / len(got)
         else:
             ber = float("nan")  # synchronizer never produced bits
+        # group survival with and without Meggitt burst correction, over
+        # the same decoded bits (the correction's radio-level payoff)
         framer = RdsFramer()
+        plain = RdsFramer(correct_bursts=0)
         for k in range(nb):
             if nbits[k] > 0:
                 framer.feed(bits[k][:nbits[k]])
+                plain.feed(bits[k][:nbits[k]])
         ok = framer.events.ps_name == "BER-SWP "
-        rows.append((sigma, ber, ok, len(got)))
+        rows.append((sigma, ber, ok, len(got),
+                     framer.events.groups_decoded,
+                     plain.events.groups_decoded,
+                     framer.events.blocks_corrected))
         print(f"sigma={sigma:.2f}  BER={ber:.2e}  bits={len(got)}  "
-              f"PS decoded={ok}", file=sys.stderr)
+              f"PS decoded={ok}  groups {framer.events.groups_decoded} "
+              f"(corrected-on, {framer.events.blocks_corrected} blocks "
+              f"repaired) vs {plain.events.groups_decoded} (off)",
+              file=sys.stderr)
 
     os.makedirs(args.out, exist_ok=True)
     path = os.path.join(args.out, "ber_curve.png")
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
-    fig, ax = plt.subplots(figsize=(7, 4.2))
+    fig, (ax, axg) = plt.subplots(2, 1, figsize=(7, 6.4), sharex=True,
+                                  height_ratios=[3, 2])
     valid = [r for r in rows if r[1] == r[1]]  # NaN = no bits, not plotted
     xs = [r[0] for r in valid]
     ys = [max(r[1], 1e-5) for r in valid]
@@ -235,11 +246,19 @@ def _ber_curve(cfg, args) -> int:
     for r in rows:
         if r[1] != r[1]:
             ax.axvline(r[0], color="#aa0000", ls=":", alpha=0.5)
-    ax.set_xlabel("AWGN sigma on unit-amplitude IQ")
+            axg.axvline(r[0], color="#aa0000", ls=":", alpha=0.5)
     ax.set_ylabel("post-differential BER")
     ax.set_title(f"RDS BER vs channel noise (mode {cfg.mode}, {nb} blocks; "
                  f"green PS = Program Service decoded)")
     ax.grid(which="both", alpha=0.4)
+    axg.plot(xs, [r[4] for r in valid], "o-", color="#008800",
+             label="groups decoded (burst correction on)")
+    axg.plot(xs, [r[5] for r in valid], "s--", color="#888888",
+             label="groups decoded (correction off)")
+    axg.set_xlabel("AWGN sigma on unit-amplitude IQ")
+    axg.set_ylabel("groups")
+    axg.legend(fontsize=8)
+    axg.grid(alpha=0.4)
     fig.tight_layout()
     fig.savefig(path, dpi=110)
     plt.close(fig)

@@ -191,6 +191,24 @@ def test_framers_survive_random_streams_and_recover():
         assert framer.events.ps_name == "RECOVERY", type(framer).__name__
 
 
+def test_radiotext_ab_flag_toggle_clears_old_message():
+    """Spec: toggling the type-2 text A/B flag announces a NEW message;
+    receivers must clear the previous text rather than interleave."""
+    long_msg = "NOW PLAYING: A VERY LONG SONG TITLE HERE"
+    short_msg = "SONG TWO"
+    for framer in (RdsFramer(), SyncByOffsetDecoder()):
+        _feed(framer, synth.radiotext_groups(0x3100, 1, long_msg, ab_flag=0))
+        assert framer.events.radiotext.rstrip() == long_msg
+        # message switch arrives on the SAME contiguous bit stream (a real
+        # transmitter keeps block alignment across messages)
+        cont = [b for g in synth.radiotext_groups(0x3100, 1, short_msg,
+                                                  ab_flag=1) * 2
+                for b in synth.group_to_bits(g)]
+        framer.feed(np.asarray(cont, dtype=np.int8))
+        assert framer.events.radiotext.rstrip() == short_msg, \
+            type(framer).__name__  # no residue of the long message
+
+
 def test_framer_state_roundtrips_through_json():
     """Checkpoint/resume for the host framers: splitting the bit stream at
     an awkward point (mid-group) and JSON-round-tripping the state must
