@@ -46,6 +46,12 @@ def make_parser() -> argparse.ArgumentParser:
                     help="RDS symbol clock: comb=per-block argmax CDR "
                          "(reference behaviour), tracked=drift-following "
                          "interpolating CDR (survives tuner ppm error)")
+    ap.add_argument("--rds-correct", type=int, default=2,
+                    metavar="SPAN", choices=range(0, 6),
+                    help="max burst span (bits) the RDS framer repairs per "
+                         "26-bit block (0=detect only like the reference; "
+                         "code limit 5; default 2 keeps false corrections "
+                         "on garbage rare)")
     ap.add_argument("--checkpoint", default=None,
                     help="state .npz to resume from / save on EOF")
     ap.add_argument("--max-blocks", type=int, default=None)
@@ -120,7 +126,8 @@ def run_wideband(args, rx, cfg) -> int:
     outs = [open(os.path.join(outdir, f"station_{k}.pcm"), "wb")
             for k in range(len(offsets))]
     framers = [RdsFramer(on_event=lambda kind, val, k=k: print(
-        f"ch{k} {kind}: {val}", file=sys.stderr))
+        f"ch{k} {kind}: {val}", file=sys.stderr),
+        correct_bursts=args.rds_correct)
         for k in range(len(offsets))] if rx.rds else None
 
     block_pairs = cfg.block_size_iq * ch.decim
@@ -280,7 +287,8 @@ def main(argv=None) -> int:
             print("Alternative Frequencies: "
                   + ", ".join(f"{f:.1f}" for f in val), file=sys.stderr)
 
-    framer = RdsFramer(on_event=emit) if rds else None
+    framer = (RdsFramer(on_event=emit, correct_bursts=args.rds_correct)
+              if rds else None)
     if framer is not None and args.checkpoint:
         try:
             with open(args.checkpoint + ".rds.json") as f:
@@ -298,7 +306,8 @@ def main(argv=None) -> int:
         except Exception as e:  # truncated/corrupt sidecar: never fatal
             print(f"warning: could not resume RDS framer state ({e!r}); "
                   "starting fresh", file=sys.stderr)
-            framer = RdsFramer(on_event=emit)
+            framer = RdsFramer(on_event=emit,
+                               correct_bursts=args.rds_correct)
 
     def read_block():
         buf = reader.next()
@@ -356,6 +365,10 @@ def main(argv=None) -> int:
               file=sys.stderr)
     fout.flush()
 
+    if framer is not None and framer.events.groups_decoded:
+        ev = framer.events
+        print(f"RDS summary: {ev.groups_decoded} groups decoded, "
+              f"{ev.blocks_corrected} blocks burst-corrected", file=sys.stderr)
     if args.checkpoint:
         state_util.save_state(args.checkpoint, state)
         if framer is not None:
