@@ -82,8 +82,28 @@ class Receiver:
 
     # -- execution ---------------------------------------------------------
 
+    def _check_batch(self, iq_u8, core_ndim: int) -> None:
+        """Reject explicit leading batch dims on stereo/RDS receivers.
+
+        Only the mono chain is written for arbitrary leading batch dims;
+        the stereo/RDS synchronizer and decode stages assume a 1-D sample
+        axis and would fail at trace time deep inside the chain (or worse).
+        Batched decode goes through jax.vmap / ChannelBank — under vmap the
+        per-trace operand is unbatched, so this check stays silent there.
+        """
+        ndim = getattr(iq_u8, "ndim", None)
+        if (ndim is not None and ndim > core_ndim
+                and (self.stereo or self.rds_path is not None)):
+            raise ValueError(
+                f"stereo/RDS receivers take a {core_ndim}-D IQ operand "
+                f"(got ndim={ndim}); batch channels with jax.vmap or "
+                "parallel.channel.ChannelBank instead")
+
     def step(self, state: ReceiverState, iq_u8: jax.Array):
-        """One block: iq_u8 (..., 2*block_size_iq) uint8."""
+        """One block: iq_u8 (2*block_size_iq,) uint8 (mono-only receivers
+        also accept leading batch dims; for stereo/RDS, batch via jax.vmap
+        or parallel.channel.ChannelBank — see _check_batch)."""
+        self._check_batch(iq_u8, 1)
         demod, f_state = self.frontend(iq_u8, state.frontend)
         shared = band_pre = None
         if self._if_bank is not None:
@@ -124,7 +144,9 @@ class Receiver:
     def run_segment(self, state: ReceiverState, iq_segment: jax.Array):
         """Segment mode: process B blocks as ONE contiguous pass.
 
-        iq_segment: (..., B * 2*block_size_iq) uint8. All wideband stages
+        iq_segment: (B * 2*block_size_iq,) uint8 (leading batch dims only
+        for mono-only receivers; batch stereo/RDS via jax.vmap or
+        ChannelBank — see _check_batch). All wideband stages
         (frontend, audio, stereo PLL, RDS band/carrier recovery) run over the
         whole segment — amortizing per-op dispatch across B blocks — while
         the narrowband RDS tail keeps exact per-block semantics internally.

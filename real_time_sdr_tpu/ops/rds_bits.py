@@ -252,8 +252,10 @@ def cdr_tracked(rds_clean: jax.Array, track: TimingTrack, sps: int,
     # padded with the carried boundary sample so p in [-1, 0) interpolates
     # across the block seam
     padded = jnp.concatenate([track.last[..., None], rds_clean], axis=-1)
-    y0 = jnp.take(padded, i0)
-    y1 = jnp.take(padded, jnp.minimum(i0 + 1, L))
+    # per-channel gather: jnp.take would flatten leading batch dims and
+    # read every channel's symbols out of channel 0's sample range
+    y0 = jnp.take_along_axis(padded, i0, axis=-1)
+    y1 = jnp.take_along_axis(padded, jnp.minimum(i0 + 1, L), axis=-1)
     soft = jnp.where(valid, y0 * (1.0 - frac) + y1 * frac, 0.0)
     sym = (soft > 0).astype(jnp.int32)
     n_sym = valid.sum(axis=-1).astype(jnp.int32)

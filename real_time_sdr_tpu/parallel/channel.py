@@ -30,18 +30,12 @@ class ChannelBank:
         self.mesh = mesh
         self.axis = axis
         self._grouped_cache: dict[int, object] = {}
-        step_v = jax.vmap(rx.step)
-        run_v = jax.vmap(rx.run_blocks, in_axes=(0, 1), out_axes=(0, 1))
-        if mesh is not None:
-            sh = NamedSharding(mesh, P(axis))
-            spec = lambda tree: jax.tree_util.tree_map(lambda _: sh, tree)
-            self._step = jax.jit(step_v)
-            self._run = jax.jit(run_v)
-            self._sharding = sh
-        else:
-            self._step = jax.jit(step_v)
-            self._run = jax.jit(run_v)
-            self._sharding = None
+        self._step = jax.jit(jax.vmap(rx.step))
+        self._run = jax.jit(jax.vmap(rx.run_blocks, in_axes=(0, 1),
+                                     out_axes=(0, 1)))
+        # placement relies on committed INPUT sharding (init_state/place);
+        # XLA propagates it through the vmapped graph, no constraints needed
+        self._sharding = NamedSharding(mesh, P(axis)) if mesh else None
 
     def init_state(self):
         state = self.rx.init_state(batch=(self.n,))

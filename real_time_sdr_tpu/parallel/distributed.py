@@ -42,8 +42,14 @@ def channel_time_mesh(n_ch_shards: int, axis_ch: str = "ch",
 
 
 def host_channel_slice(n_channels: int) -> slice:
-    """Which channel rows this host process feeds (even split)."""
-    per = n_channels // jax.process_count()
+    """Which channel rows this host process feeds (even split required)."""
+    count = jax.process_count()
+    if n_channels % count:
+        raise ValueError(
+            f"n_channels={n_channels} does not divide evenly over "
+            f"{count} processes; the remainder channels would silently "
+            "be fed by no host")
+    per = n_channels // count
     start = jax.process_index() * per
     return slice(start, start + per)
 

@@ -79,6 +79,12 @@ def time_sharded_run(rx: Receiver, mesh: Mesh, blocks: jax.Array,
     """
     if exact is None:
         exact = _all_feedforward(rx)
+    elif exact and not _all_feedforward(rx):
+        raise ValueError(
+            "exact time sharding requires every carrier-recovery stage at "
+            "tier 3 (feedforward); this receiver carries a sequential PLL "
+            "recurrence that cannot be sharded exactly. Use exact=False "
+            "(warm-up re-acquisition) or build the receiver with pll_tier=3")
     t = mesh.shape[axis]
     b = blocks.shape[0]
     assert b % t == 0, f"blocks {b} not divisible by time shards {t}"
@@ -200,17 +206,18 @@ def _approx_run(rx: Receiver, mesh: Mesh, blocks: jax.Array, axis: str,
         halo = jax.lax.ppermute(
             tail, axis, perm=[(i, (i + 1) % t) for i in range(t)])
         my_id = jax.lax.axis_index(axis)
-        # Shard 0 has no left context: warm up on its own leading blocks.
-        # (Silence is NOT a neutral warm-up: atan2(+-0, negative feedback)
-        # is +-pi, so the PLL random-walks on zero input — exactly as the
-        # reference's atan2 detector would — and can settle in quadrature,
-        # flipping the stereo difference sign.)
-        halo = jnp.where(my_id == 0, local_blocks[:overlap], halo)
-        seq = jnp.concatenate([halo, local_blocks], axis=0)
-        state = rx.init_state()
-        final, outs = rx.run_blocks(state, seq)
-        # drop warm-up outputs
-        return jax.tree_util.tree_map(
-            lambda o: o[overlap:] if o is not None else None, outs)
+        # Warm each shard's loop state on its left-neighbour halo, then run
+        # the local blocks from that state. Shard 0 is the true stream
+        # head: it keeps the INITIAL state (its ppermute halo is shard
+        # t-1's tail — the warm-up runs on it uniformly but the result is
+        # discarded by the select), so the head of the output is identical
+        # to the sequential receiver rather than a state that had already
+        # consumed the shard's own leading blocks (a backwards time-jump).
+        init = rx.init_state()
+        warm, _ = rx.run_blocks(init, halo)
+        state0 = jax.tree_util.tree_map(
+            lambda a, b_: jnp.where(my_id == 0, a, b_), init, warm)
+        _final, outs = rx.run_blocks(state0, local_blocks)
+        return outs
 
     return run(blocks)

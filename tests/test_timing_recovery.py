@@ -79,3 +79,30 @@ def test_tracked_timing_follows_clock_ppm(ppm):
 def _final_rate(rx, iq):
     state, _ = rx.run_segment(rx.init_state(), jnp.asarray(iq))
     return state.rds.track.rate
+
+
+def test_cdr_tracked_batched_matches_per_channel():
+    """Regression: the interpolating gather must index per channel —
+    jnp.take on the flattened array silently read every channel's symbols
+    out of channel 0's sample range."""
+    from real_time_sdr_tpu.ops.rds_bits import cdr_tracked, timing_init
+
+    rng = np.random.default_rng(11)
+    sps, L, C = 10, 200, 3
+    sig = rng.standard_normal((C, L)).astype(np.float32)
+    b_sym, b_soft, b_n, b_track = cdr_tracked(
+        jnp.asarray(sig), timing_init(batch=(C,)), sps,
+        max_symbols=L // sps + 1)
+    for c in range(C):
+        s_sym, s_soft, s_n, s_track = cdr_tracked(
+            jnp.asarray(sig[c]), timing_init(), sps,
+            max_symbols=L // sps + 1)
+        np.testing.assert_array_equal(np.asarray(b_sym)[c],
+                                      np.asarray(s_sym), err_msg=f"ch {c}")
+        np.testing.assert_allclose(np.asarray(b_soft)[c],
+                                   np.asarray(s_soft), rtol=1e-6)
+        assert int(np.asarray(b_n)[c]) == int(np.asarray(s_n))
+        np.testing.assert_allclose(np.asarray(b_track.offset)[c],
+                                   np.asarray(s_track.offset), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(b_track.last)[c],
+                                   np.asarray(s_track.last), rtol=1e-6)
