@@ -192,6 +192,8 @@ def manchester_block(symbols, block_index, st: ManchesterState):
     A trailing unpaired symbol is carried as ``half_symbol`` and emitted
     as the first bit of the next block.
     """
+    if not symbols:
+        return []  # nothing to pair; any carried half symbol stays carried
     bits = []
     if st.start:
         bits.append(st.half_symbol)
@@ -215,6 +217,8 @@ def manchester_block(symbols, block_index, st: ManchesterState):
 def differential_block(bits, block_index, last_bit):
     """Differential decode with carried last bit
     (src/rds_utilities.cpp:70-88)."""
+    if not bits:
+        return [], last_bit
     out = [bits[0] if block_index == 0 else bits[0] ^ last_bit]
     for i in range(1, len(bits)):
         out.append(bits[i] ^ bits[i - 1])
@@ -308,11 +312,13 @@ class GroupAssembler:
 
     def feed(self, offset_type, data16):
         data16 = int(data16)
-        if offset_type in ("A", "B", "C", "D"):
-            slot = {"A": 0, "B": 1, "C": 2, "D": 3}[offset_type]
+        if offset_type in ("A", "B", "C", "Cp", "D"):
+            # C' occupies the C block position (version-B groups); the
+            # production RdsFramer maps it the same way (rds_framing._block).
+            slot = {"A": 0, "B": 1, "C": 2, "Cp": 2, "D": 3}[offset_type]
             mask = ~(0xFFFF << (48 - 16 * slot)) & ((1 << 64) - 1)
             self.reg = (self.reg & mask) | (data16 << (48 - 16 * slot))
-        self.window.append(offset_type)
+        self.window.append("C" if offset_type == "Cp" else offset_type)
         if len(self.window) > 4:
             self.window.pop(0)
         if self.window == ["A", "B", "C", "D"]:

@@ -206,6 +206,9 @@ extern "C" {
 
 void* rtsdr_reader_open(int fd, size_t block_bytes, size_t depth,
                         int drop_oldest) {
+  // depth 0 would mean modulo-by-zero (drop-oldest) or a never-true wait
+  // predicate (blocking); a ring needs at least one slot.
+  if (depth < 1) depth = 1;
   return new Reader(fd, block_bytes, depth, drop_oldest != 0);
 }
 
@@ -225,6 +228,7 @@ void rtsdr_reader_close(void* handle) {
 }
 
 void* rtsdr_writer_open(int fd, size_t max_block_bytes, size_t depth) {
+  if (depth < 1) depth = 1;
   return new Writer(fd, max_block_bytes, depth);
 }
 

@@ -179,6 +179,25 @@ void test_writer_roundtrip_and_reject() {
   printf("  writer roundtrip + oversized reject ok (%d blocks)\n", kN);
 }
 
+// depth=0 is clamped to 1 instead of modulo-by-zero (drop-oldest) or a
+// never-true wait predicate (blocking) — both modes must still move data.
+void test_depth_zero_clamped() {
+  for (int drop = 0; drop <= 1; ++drop) {
+    int fds[2];
+    assert(pipe(fds) == 0);
+    void* r = rtsdr_reader_open(fds[0], kBlock, 0, drop);
+    auto b = make_block(7);
+    assert(write(fds[1], b.data(), kBlock) == (ssize_t)kBlock);
+    close(fds[1]);
+    std::vector<uint8_t> out(kBlock);
+    assert(rtsdr_reader_next(r, out.data()) == kBlock);
+    assert(out == b);
+    assert(rtsdr_reader_next(r, out.data()) == 0);  // EOF
+    rtsdr_reader_close(r);
+  }
+  printf("  depth-0 clamp ok (both modes)\n");
+}
+
 }  // namespace
 
 int main() {
@@ -187,6 +206,7 @@ int main() {
   test_reader_blocking_no_drops();
   test_reader_drop_oldest();
   test_writer_roundtrip_and_reject();
+  test_depth_zero_clamped();
   printf("ALL NATIVE TESTS PASSED\n");
   return 0;
 }

@@ -103,10 +103,10 @@ def run_wideband(args, rx, cfg) -> int:
     from real_time_sdr_tpu.utils.audio import mono_pcm, stereo_pcm
     from real_time_sdr_tpu.utils import state as state_util
 
-    if args.io_depth != 4 or args.drop_oldest:
-        print("warning: --io-depth/--drop-oldest apply to the single-station "
-              "native I/O path and are ignored in --stations mode",
-              file=sys.stderr)
+    if args.io_depth != 4 or args.drop_oldest or args.pipeline != 1:
+        print("warning: --io-depth/--drop-oldest/--pipeline apply to the "
+              "single-station path and are ignored in --stations mode "
+              "(the wideband loop steps synchronously)", file=sys.stderr)
     try:
         offsets = [int(x) for x in args.stations.split(",")]
     except ValueError:
@@ -158,6 +158,12 @@ def run_wideband(args, rx, cfg) -> int:
             except FileNotFoundError:
                 pass
             except Exception as e:  # truncated/corrupt sidecar: never fatal
+                # Some framers may already be (half-)loaded; rebuild them all
+                # so "starting fresh" is actually true.
+                framers = [RdsFramer(on_event=lambda kind, val, k=k: print(
+                    f"ch{k} {kind}: {val}", file=sys.stderr),
+                    correct_bursts=args.rds_correct)
+                    for k in range(len(offsets))]
                 print(f"warning: could not resume RDS framer state ({e!r});"
                       " starting fresh", file=sys.stderr)
     if args.warmup:
@@ -219,6 +225,14 @@ def run_wideband(args, rx, cfg) -> int:
 
 def main(argv=None) -> int:
     args = make_parser().parse_args(argv)
+    if args.io_depth < 1:
+        print(f"error: --io-depth must be >= 1, got {args.io_depth}",
+              file=sys.stderr)
+        return 2
+    if args.pipeline < 0:
+        print(f"error: --pipeline must be >= 0, got {args.pipeline}",
+              file=sys.stderr)
+        return 2
 
     import jax
     if args.cpu:

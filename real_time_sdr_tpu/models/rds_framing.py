@@ -23,10 +23,11 @@ from typing import Callable
 
 import numpy as np
 
-from real_time_sdr_tpu.ops.rds_bits import (OFFSET_SYNDROMES, _crc_remainder,
-                                            parity_matrix_np)
+from real_time_sdr_tpu.ops.rds_bits import (OFFSET_SYNDROMES, OFFSET_WORDS,
+                                            _crc_remainder, parity_matrix_np)
 
 _H = parity_matrix_np()  # (26, 10)
+_SYN_TO_NAME = {v: k for k, v in OFFSET_SYNDROMES.items()}
 _SYNDROME_VALUES = np.array(
     [OFFSET_SYNDROMES[k] for k in ("A", "B", "C", "Cp", "D")], dtype=np.int64)
 _OFFSET_NAMES = ("A", "B", "C", "Cp", "D")
@@ -400,9 +401,8 @@ class SyncByOffsetDecoder(_GroupParsing):
         return self._crc_cache[data]
 
     def feed(self, bits) -> None:
-        syn_to_name = {v: k for k, v in OFFSET_SYNDROMES.items()}
-        offset_words = {"A": 0x0FC, "B": 0x198, "C": 0x168, "Cp": 0x350,
-                        "D": 0x1B4}
+        syn_to_name = _SYN_TO_NAME
+        offset_words = OFFSET_WORDS
         for b in np.asarray(bits, dtype=np.int64):
             self._reg = ((self._reg << 1) | int(b)) & ((1 << 26) - 1)
             self._bit_count += 1

@@ -54,16 +54,15 @@ def parity_matrix_np() -> np.ndarray:
     return h
 
 
-# Offset-word syndromes in RBDS block order (A, B, C, C', D); values equal the
-# reference's dormant-decoder table {383, 14, 303, 663, 748} reordered
-# (src/rds_utilities.cpp:205 lists A,B,C,D,C').
-OFFSET_SYNDROMES = {
-    "A": _crc_remainder(0x0FC, 26),
-    "B": _crc_remainder(0x198, 26),
-    "C": _crc_remainder(0x168, 26),
-    "Cp": _crc_remainder(0x350, 26),
-    "D": _crc_remainder(0x1B4, 26),
-}
+# RBDS offset words in block order (A, B, C, C', D) — the single source of
+# truth for the framework (the float64 oracle in golden/dsp.py keeps its own
+# copy on purpose, for independence).
+OFFSET_WORDS = {"A": 0x0FC, "B": 0x198, "C": 0x168, "Cp": 0x350, "D": 0x1B4}
+
+# Offset-word syndromes; values equal the reference's dormant-decoder table
+# {383, 14, 303, 663, 748} reordered (src/rds_utilities.cpp:205 lists
+# A,B,C,D,C').
+OFFSET_SYNDROMES = {k: _crc_remainder(w, 26) for k, w in OFFSET_WORDS.items()}
 
 
 class BitSyncState(NamedTuple):

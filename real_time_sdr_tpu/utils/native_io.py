@@ -109,14 +109,18 @@ class BlockReader:
             return None
         return np.frombuffer(data, dtype=np.uint8)
 
+    _dropped_final: int = 0
+
     @property
     def dropped(self) -> int:
         if self._native is not None:
             return int(self._lib.rtsdr_reader_dropped(self._native))
-        return 0
+        return self._dropped_final  # latched by close()
 
     def close(self):
         if self._native is not None:
+            self._dropped_final = int(
+                self._lib.rtsdr_reader_dropped(self._native))
             self._lib.rtsdr_reader_close(self._native)
             self._native = None
 

@@ -14,6 +14,12 @@ import jax
 import jax.numpy as jnp  # noqa: F401  (bf16 dtype check)
 
 
+def _npz_path(path: str) -> str:
+    # np.savez silently appends ".npz" to paths lacking the suffix; normalize
+    # here so save_state and load_state always agree on the on-disk name.
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_state(path: str, state) -> None:
     """Serialize a receiver state pytree to an .npz file."""
     leaves, treedef = jax.tree_util.tree_flatten(state)
@@ -25,13 +31,13 @@ def save_state(path: str, state) -> None:
         arrays[f"leaf_{i}"] = a
     arrays["__treedef__"] = np.frombuffer(
         str(treedef).encode(), dtype=np.uint8)
-    np.savez(path, **arrays)
+    np.savez(_npz_path(path), **arrays)
 
 
 def load_state(path: str, like):
     """Restore a state pytree saved by save_state; ``like`` supplies the
     tree structure (e.g. ``rx.init_state()``)."""
-    data = np.load(path)
+    data = np.load(_npz_path(path))
     leaves_like, treedef = jax.tree_util.tree_flatten(like)
     leaves = []
     for i, ref in enumerate(leaves_like):

@@ -21,9 +21,8 @@ from scipy import signal as sp_signal
 
 from real_time_sdr_tpu.config import PILOT_FREQ, RDS_SYMBOL_RATE, ReceiverConfig
 from real_time_sdr_tpu.ops.filters import design_rrc
+from real_time_sdr_tpu.ops.rds_bits import OFFSET_WORDS as _OFFSET_WORDS
 from real_time_sdr_tpu.ops.rds_bits import _crc_remainder
-
-_OFFSET_WORDS = {"A": 0x0FC, "B": 0x198, "C": 0x168, "Cp": 0x350, "D": 0x1B4}
 
 
 # ---------------------------------------------------------------------------

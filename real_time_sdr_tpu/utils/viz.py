@@ -127,6 +127,8 @@ def waterfall(path: str, samples, fs: float, n_rows: int = 64,
     stacked into one waterfall image (time down, frequency across)."""
     plt = _mpl()
     samples = np.asarray(samples, np.float32).ravel()
+    if len(samples) < nfft:  # too short for even one PSD row: pad one segment
+        samples = np.pad(samples, (0, nfft - len(samples)))
     seg = max(nfft, len(samples) // n_rows // nfft * nfft)
     rows = []
     for r in range(min(n_rows, len(samples) // seg)):

@@ -87,6 +87,13 @@ def test_cli_bad_args(station_file):
     assert r.returncode != 0
 
 
+def test_cli_rejects_degenerate_flags():
+    # validated before any jax/device work, so call main() in-process
+    from real_time_sdr_tpu import cli
+    assert cli.main(["0", "m", "--io-depth", "0"]) == 2
+    assert cli.main(["0", "m", "--pipeline", "-1"]) == 2
+
+
 def test_cli_wideband_multistation(tmp_path):
     from real_time_sdr_tpu.utils import synth as _synth
 

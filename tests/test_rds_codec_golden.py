@@ -75,3 +75,29 @@ def test_frame_sync_handles_split_streams():
     for i in range(0, len(bits), 41):
         dsp.frame_sync(bits[i:i + 41], fs)
     assert fs.assembler.ps_name == name
+
+
+def test_golden_assembler_decodes_version_b_groups():
+    # 0B groups: version bit set, block 3 transmitted under the C' offset.
+    # The oracle must map C' to the C block position like the production
+    # RdsFramer does (models/rds_framing.py _block).
+    pi, pty, name = 0x2AB0, 7, "BSIDEFM "
+    bits = []
+    for rep in range(2):          # repeat so sync hunts then locks
+        for placement in range(4):
+            word_b = (0 << 12) | (1 << 11) | (0 << 10) | (pty << 5) | placement
+            chars = name[2 * placement:2 * placement + 2]
+            word_d = (ord(chars[0]) << 8) | ord(chars[1])
+            bits.extend(dsp.group_to_bits([pi, word_b, pi, word_d]))
+    fs = dsp.FrameSyncState()
+    dsp.frame_sync(bits, fs)
+    assert fs.assembler.ps_name == name
+    assert {e[1] for e in fs.assembler.events if e[0] == "group"} == {pi}
+
+
+def test_golden_bit_decoders_tolerate_empty_blocks():
+    st = dsp.ManchesterState(start=1, half_symbol=1)
+    assert dsp.manchester_block([], 3, st) == []
+    assert (st.start, st.half_symbol) == (1, 1)  # carry survives untouched
+    out, last = dsp.differential_block([], 2, last_bit=1)
+    assert out == [] and last == 1

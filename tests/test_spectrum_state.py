@@ -58,3 +58,14 @@ def test_state_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(oa.left), np.asarray(ob.left))
     np.testing.assert_array_equal(np.asarray(oa.rds_bits),
                                   np.asarray(ob.rds_bits))
+
+
+def test_state_path_without_npz_suffix(tmp_path):
+    # np.savez silently appends ".npz"; save/load must agree on the name so
+    # CLI --checkpoint resume works for suffix-less paths.
+    tree = {"a": jnp.arange(4, dtype=jnp.float32), "b": jnp.zeros((2, 3))}
+    path = str(tmp_path / "ckpt")          # no suffix
+    save_state(path, tree)
+    assert (tmp_path / "ckpt.npz").exists()
+    got = load_state(path, tree)
+    np.testing.assert_array_equal(np.asarray(got["a"]), np.asarray(tree["a"]))
