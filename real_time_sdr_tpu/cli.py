@@ -103,10 +103,10 @@ def run_wideband(args, rx, cfg) -> int:
     from real_time_sdr_tpu.utils.audio import mono_pcm, stereo_pcm
     from real_time_sdr_tpu.utils import state as state_util
 
-    if args.io_depth != 4 or args.drop_oldest or args.pipeline != 1:
-        print("warning: --io-depth/--drop-oldest/--pipeline apply to the "
-              "single-station path and are ignored in --stations mode "
-              "(the wideband loop steps synchronously)", file=sys.stderr)
+    if args.io_depth != 4 or args.drop_oldest:
+        print("warning: --io-depth/--drop-oldest apply to the single-station "
+              "native I/O path and are ignored in --stations mode",
+              file=sys.stderr)
     try:
         offsets = [int(x) for x in args.stations.split(",")]
     except ValueError:
@@ -176,6 +176,17 @@ def run_wideband(args, rx, cfg) -> int:
               file=sys.stderr)
     n_blocks = 0
     t_total = 0.0
+    in_flight = []  # (per-station pcm device arrays, out) awaiting fetch
+
+    def drain_one():
+        pcms, out = in_flight.pop(0)
+        for k in range(len(offsets)):
+            np.asarray(pcms[k]).astype("<i2").tofile(outs[k])
+            if framers is not None:
+                nb = int(out.rds_nbits[k])
+                if nb > 0:
+                    framers[k].feed(np.asarray(out.rds_bits[k])[:nb])
+
     while True:
         t0 = time.perf_counter()
         buf = fin.read(2 * block_pairs)
@@ -186,17 +197,15 @@ def run_wideband(args, rx, cfg) -> int:
         (i_ds, q_ds), cstate = ch(jnp.asarray(x[0::2]), jnp.asarray(x[1::2]),
                                   cstate)
         u8 = ch.to_uint8(i_ds, q_ds)
-        bstate, out = bank.step(bstate, u8)
-        for k in range(len(offsets)):
-            if rx.stereo:
-                pcm = stereo_pcm(out.left[k], out.right[k])
-            else:
-                pcm = mono_pcm(out.mono[k])
-            np.asarray(pcm).astype("<i2").tofile(outs[k])
-            if framers is not None:
-                nb = int(out.rds_nbits[k])
-                if nb > 0:
-                    framers[k].feed(np.asarray(out.rds_bits[k])[:nb])
+        bstate, out = bank.step(bstate, u8)  # async dispatch
+        if rx.stereo:
+            pcms = [stereo_pcm(out.left[k], out.right[k])
+                    for k in range(len(offsets))]
+        else:
+            pcms = [mono_pcm(out.mono[k]) for k in range(len(offsets))]
+        in_flight.append((pcms, out))
+        if len(in_flight) > args.pipeline:  # defer fetch to overlap dispatch
+            drain_one()
         n_blocks += 1
         dt = time.perf_counter() - t0
         t_total += dt
@@ -205,6 +214,8 @@ def run_wideband(args, rx, cfg) -> int:
                   f"({budget/dt:.1f}x real time)", file=sys.stderr)
         if args.max_blocks and n_blocks >= args.max_blocks:
             break
+    while in_flight:
+        drain_one()
     for f in outs:
         f.close()
     if args.checkpoint:

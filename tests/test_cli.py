@@ -120,3 +120,15 @@ def test_cli_wideband_multistation(tmp_path):
     for k in range(2):
         pcm = np.fromfile(outdir / f"station_{k}.pcm", "<i2")
         assert len(pcm) == 26 * cfg.audio_block * 2
+
+    # pipelined dispatch (deferred fetches) must be byte-identical
+    outdir2 = tmp_path / "stations_pipelined"
+    r2 = run_cli(["0", "r", "--stations=-2000000,1500000",
+                  "--wide-fs", "9600000", "--output-dir", str(outdir2),
+                  "--pipeline", "4"], wb)
+    assert r2.returncode == 0
+    assert "ch0 ps: WIDE-A" in r2.stderr.decode()
+    for k in range(2):
+        a = (outdir / f"station_{k}.pcm").read_bytes()
+        b = (outdir2 / f"station_{k}.pcm").read_bytes()
+        assert a == b
