@@ -241,11 +241,7 @@ def main() -> None:
     max_blocks = max(b for _, b in rungs)
     iq, _ = synth.station_iq(cfg, max_blocks)
 
-    def digest_fn(state, segs):
-        s2, out = rx.run_segment(state, segs)
-        sums = [jnp.sum(o if o.dtype != jnp.int32 else o.astype(jnp.float32))
-                for o in jax.tree_util.tree_leaves(out)]
-        return s2, sum(sums)
+    from real_time_sdr_tpu.utils import benchkit
 
     # ONE jitted graph serves every rung cell: wide channel banks split
     # into --group-wide sub-banks and long captures into --tile-block
@@ -257,7 +253,7 @@ def main() -> None:
     # WORSE on v5e: lax.map grouping 1976x, map+scan tiling 944x, vs
     # 2916x host-celled at 128ch x 48blk — and their compiles run
     # 3-6 minutes cache-cold vs seconds here.)
-    digest_v = jax.jit(jax.vmap(digest_fn))
+    digest_v = benchkit.digest_step(rx)
 
     def fetch(x):
         return float(np.asarray(x)[()] if np.ndim(x) == 0 else
@@ -283,15 +279,7 @@ def main() -> None:
             if not g or n_ch <= g or n_ch % g:
                 g = n_ch
             n_g = n_ch // g
-            # one host->device transfer of the base segment; the per-channel
-            # time shifts are built ON DEVICE (a wide rung would otherwise
-            # push n_ch copies through the tunnel — minutes of setup)
-            base2 = jnp.concatenate([jnp.asarray(iq[:n_len])] * 2)
-            shifts = jnp.asarray([(2 * 997 * c) % n_len
-                                  for c in range(n_ch)], jnp.int32)
-            per_ch_dev = jax.jit(jax.vmap(
-                lambda s: jax.lax.dynamic_slice(base2, (s,), (n_len,))))(
-                    shifts)
+            per_ch_dev = benchkit.shifted_channel_segments(iq, n_ch, n_len)
             chunk_len = n_len // n_chunks
             # cells[gi][k]: (g, chunk_len) uint8 for sub-bank gi, chunk k
             cells = [[jax.device_put(

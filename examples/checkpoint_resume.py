@@ -13,7 +13,8 @@ import os
 import sys
 import tempfile
 
-sys.path.insert(0, ".")
+sys.path.append(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # repo root; append keeps axon site first
 
 import jax
 

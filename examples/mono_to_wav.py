@@ -8,9 +8,11 @@ TPU-native twin of the reference workflow documented at
 model/fmMonoBasic.py:30-42 (rtl_sdr capture -> decode -> .wav).
 """
 
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.append(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # repo root; append keeps axon site first
 
 import jax
 

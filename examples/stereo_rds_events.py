@@ -9,9 +9,11 @@ as it happens (the reference prints PI/PTY/PS to stderr,
 src/rds_utilities.cpp:180-196).
 """
 
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.append(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # repo root; append keeps axon site first
 
 import jax
 

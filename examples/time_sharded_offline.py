@@ -18,7 +18,8 @@ shards over ICI.
 import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.append(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # repo root; append keeps axon site first
 
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8")

@@ -9,9 +9,11 @@ through a vmapped receiver bank — the reference needs one rtl_sdr stream
 and one process per station; here one capture feeds them all.
 """
 
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.append(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # repo root; append keeps axon site first
 
 import jax
 

@@ -52,21 +52,12 @@ def child(args) -> None:
     rx = Receiver(0, stereo=True, rds=True, pll_tier=3)
     cfg = rx.cfg
     n_ch, n_blk = args.channels, args.blocks
+    from real_time_sdr_tpu.utils import benchkit
+
     n_len = n_blk * 2 * cfg.block_size_iq
     iq, _ = synth.station_iq(cfg, n_blk)
-    base2 = jnp.concatenate([jnp.asarray(iq)] * 2)
-    shifts = jnp.asarray([(2 * 997 * c) % n_len for c in range(n_ch)],
-                         jnp.int32)
-    segs = jax.jit(jax.vmap(
-        lambda s: jax.lax.dynamic_slice(base2, (s,), (n_len,))))(shifts)
-
-    def digest_fn(state, seg):
-        s2, out = rx.run_segment(state, seg)
-        sums = [jnp.sum(o if o.dtype != jnp.int32 else o.astype(jnp.float32))
-                for o in jax.tree_util.tree_leaves(out)]
-        return s2, sum(sums)
-
-    digest_v = jax.jit(jax.vmap(digest_fn))
+    segs = benchkit.shifted_channel_segments(iq, n_ch, n_len)
+    digest_v = benchkit.digest_step(rx)
     state = rx.init_state(batch=(n_ch,))
 
     t0 = time.perf_counter()

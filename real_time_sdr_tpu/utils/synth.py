@@ -84,6 +84,7 @@ def radiotext_groups(pi: int, pty: int, text: str,
 
     ab_flag is the text A/B flag (block B bit 4): toggling it between
     messages tells receivers to clear the previous text."""
+    assert len(text) <= 64, "2A RadioText is capped at 64 chars (4-bit seg)"
     text = text.ljust(4 * ((len(text) + 3) // 4))
     out = []
     for seg in range(len(text) // 4):
@@ -283,6 +284,10 @@ def impair_iq(iq_u8: np.ndarray, rf_fs: int, *,
         acc = z.copy()
         for k, (delay_s, amp, ph) in enumerate(multipath):
             d = int(round(delay_s * rf_fs))
+            if not 0 <= d < n:
+                raise ValueError(
+                    f"multipath delay {delay_s} s = {d} samples is outside "
+                    f"the {n}-sample capture")
             echo = np.concatenate([np.zeros(d, dtype=z.dtype), z[:n - d]])
             rot = np.exp(1j * (ph + 2 * np.pi * (k + 1) * doppler_hz * t))
             acc = acc + amp * echo * rot

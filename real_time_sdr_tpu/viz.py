@@ -47,10 +47,12 @@ def main(argv=None) -> int:
                     help="comma-separated AWGN sigma sweep for --ber")
     args = ap.parse_args(argv)
 
+    # must precede the first `import jax` — the default cache dir is captured
+    # at import time
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     import jax.numpy as jnp
     import numpy as np
 
@@ -81,7 +83,7 @@ def main(argv=None) -> int:
     # pass over the whole capture on top of run_segment's
     nb_psd = min(nb, 8)
     demod, _ = rx.frontend(jnp.asarray(iq[: nb_psd * blk]), state.frontend)
-    _, out = rx.run_segment(state, jnp.asarray(iq))
+    _, out = rx.jit_step(state, jnp.asarray(iq))
     demod = np.asarray(demod)
     left = np.asarray(out.left).ravel()
     right = np.asarray(out.right).ravel()
@@ -193,7 +195,8 @@ def _ber_curve(cfg, args) -> int:
     for sigma in sigmas:
         iq, truth = station_iq(cfg, nb, ps_name="BER-SWP ", pi=0x7A7A,
                                pty=6, noise_std=sigma)
-        _, out = rx.run_segment(rx.init_state(), jnp.asarray(iq))
+        # same segment shape every sigma -> one compile, reused
+        _, out = rx.jit_step(rx.init_state(), jnp.asarray(iq))
         nbits = np.asarray(out.rds_nbits)
         bits = np.asarray(out.rds_bits)
         # steady-state BER: skip the acquisition/settle blocks so the curve
@@ -202,10 +205,16 @@ def _ber_curve(cfg, args) -> int:
         got = "".join(str(b) for k in range(settle, nb) if nbits[k] > 0
                       for b in bits[k][:nbits[k]])
         if got:
-            ref = "".join(map(str, truth["bits"] * 60))
+            # repeat the transmitted groups far enough that the reference
+            # always covers the decoded stream at every search offset
+            # (a short fixed repetition would let zip() truncate silently
+            # and deflate the BER)
+            period = len(truth["bits"])
+            reps = (len(got) + 2 * period) // period + 2
+            ref = "".join(map(str, truth["bits"] * reps))
             best = min(sum(a != b
                            for a, b in zip(got, ref[off:off + len(got)]))
-                       for off in range(len(truth["bits"]) * 2))
+                       for off in range(2 * period))
             ber = best / len(got)
         else:
             ber = float("nan")  # synchronizer never produced bits
