@@ -139,7 +139,10 @@ class PolyFIR:
                     "dims": (0, 0, 0)}
         n_out, R, stride, J, W, c_frames, s_over, pad_to = self._plan(n)
         flops = 2 * c_frames * J * R
-        byts = 4 * (c_frames * J + J * R + n_out)  # frames + weights + out
+        # HBM floor: the barrier-materialized stage input + weights + output.
+        # NOT c_frames*J — XLA fuses frame construction into the matmul, so
+        # the frame matrix never hits HBM (measured, BENCH_NOTES 32x12 A/B).
+        byts = 4 * (n + self.tail_len + J * R + n_out)
         return {"kind": "fir_f32", "flops": flops, "bytes": byts,
                 "dims": (c_frames, J, R)}
 
@@ -360,7 +363,8 @@ class DualPhaseFIR:
         matrix."""
         n_out, R, stride, J, W, c_frames, s_over, pad_to = self._plan(n2)
         flops = 2 * 2 * c_frames * J * (2 * R)  # hi+lo passes
-        byts = (1 * c_frames * J          # uint8 frames (pre-cast traffic)
+        byts = (1 * (n2 + self.tail_len)  # uint8 stage input (frames fuse,
+                                          # never hit HBM — BENCH_NOTES A/B)
                 + 2 * 2 * J * 2 * R       # bf16 hi+lo weights
                 + 4 * 2 * n_out)          # f32 I and Q outputs
         return {"kind": "fir_u8_bf16x2", "flops": flops, "bytes": byts,

@@ -43,6 +43,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+
+from real_time_sdr_tpu.ops.fir import barrier
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["FusedFrontendFIR"]
@@ -81,8 +83,12 @@ def _kernel(a_ref, b_ref, whi_ref, wlo_ref, pi_ref, pq_ref, o_ref, *,
     row = jax.lax.broadcasted_iota(jnp.int32, (2 * g, 1), 0)
     sel_i = (row == g - 1).astype(jnp.float32)
     sel_q = (row == 2 * g - 1).astype(jnp.float32)
-    last_i = jnp.dot(y, sel_i, preferred_element_type=jnp.float32)
-    last_q = jnp.dot(y, sel_q, preferred_element_type=jnp.float32)
+    # HIGHEST pins the f32 contraction (TPU default would bf16-round the
+    # predecessor sample, injecting an error comb at if_fs/g into the demod)
+    last_i = jnp.dot(y, sel_i, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    last_q = jnp.dot(y, sel_q, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     ip0 = jnp.concatenate([pv_i, last_i[:-1]], axis=0)
     qp0 = jnp.concatenate([pv_q, last_q[:-1]], axis=0)
     ip = jnp.concatenate([ip0, i_sig[:, :g - 1]], axis=-1)
@@ -182,7 +188,7 @@ class FusedFrontendFIR:
         n2 = s_u8.shape[-1]
         n_out, c_frames, tf, nbf, rows_total = self._plan(n2)
         xx = jnp.concatenate([tail_u8, s_u8], axis=-1)
-        xx = jax.lax.optimization_barrier(xx)
+        xx = barrier(xx, "frontend")  # tagged: RTSDR_NO_BARRIER A/B-able
         new_tail = xx[..., xx.shape[-1] - self.tail_len:]
         # u8 ^ 0x80 reinterpreted as int8 == x - 128; int8 0 == "no signal"
         xi = jax.lax.bitcast_convert_type(xx ^ jnp.uint8(0x80), jnp.int8)

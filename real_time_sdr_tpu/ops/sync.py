@@ -57,8 +57,10 @@ def _hilbert_taps(taps: int) -> np.ndarray:
 
 
 class FFSyncCarry(NamedTuple):
-    i_tail: jax.Array       # delay-line tail (in-phase path)
-    q_tail: jax.Array       # Hilbert FIR tail
+    in_tail: jax.Array      # shared input tail (delay line + Hilbert FIR
+                            # have the same geometry on the same input, so
+                            # one history serves both — models/audio.py's
+                            # StereoState pattern)
     sm_i_tail: jax.Array    # smoothing FIR tails (analytic I/Q)
     sm_q_tail: jax.Array
     trig: jax.Array         # int32 global sample counter mod period
@@ -83,13 +85,14 @@ class FeedforwardSync:
         self.q_fir = PolyFIR(h_h)
         self.i_fir = PolyFIR(delay)
         # Smoothing: normalized Hann — plays the loop filter's noise-averaging
-        # role (equivalent noise bandwidth ~ fs/smooth_taps).
+        # role (equivalent noise bandwidth ~ fs/smooth_taps). ONE filter
+        # object: both analytic rails run through it as a stacked batch.
         i = np.arange(smooth_taps, dtype=np.float64)
         w = np.sin(i * np.pi / smooth_taps) ** 2
-        self.sm_fir_i = PolyFIR(w / w.sum())
-        self.sm_fir_q = PolyFIR(w / w.sum())
+        self.sm_fir = PolyFIR(w / w.sum())
         self._q_bank = make_bank([self.q_fir], site="sync")
-        self._sm_bank = make_bank([self.sm_fir_i], site="sync")
+        self._sm_bank = make_bank([self.sm_fir], site="sync")
+        assert self.i_fir.tail_len == self.q_fir.tail_len
         # Hilbert/delay-line group delay: where the analytic signal "is" at
         # FIR output k. The smoother adds (smooth_taps-1)/2 more delay, but
         # only to the slowly-rotating RESIDUAL (the nominal ramp is removed
@@ -101,17 +104,17 @@ class FeedforwardSync:
     def init(self, batch: tuple = ()) -> FFSyncCarry:
         t = lambda n: jnp.zeros(batch + (n,), jnp.float32)
         return FFSyncCarry(
-            i_tail=t(self.i_fir.tail_len), q_tail=t(self.q_fir.tail_len),
-            sm_i_tail=t(self.sm_fir_i.tail_len),
-            sm_q_tail=t(self.sm_fir_q.tail_len),
+            in_tail=t(self.q_fir.tail_len),
+            sm_i_tail=t(self.sm_fir.tail_len),
+            sm_q_tail=t(self.sm_fir.tail_len),
             trig=jnp.zeros(batch, jnp.int32),
             resid=jnp.zeros(batch, jnp.float32))
 
     def __call__(self, x: jax.Array, carry: FFSyncCarry, p: PllParams = None):
         p = p or self.p
         n = x.shape[-1]
-        i_sig, i_tail = self.i_fir(x, carry.i_tail)
-        (q_sig,), q_tail = self._q_bank(x, carry.q_tail)
+        i_sig, _ = self.i_fir(x, carry.in_tail)
+        (q_sig,), in_tail = self._q_bank(x, carry.in_tail)
 
         # Rotate the analytic signal down by the exact nominal ramp evaluated
         # at the sample it currently describes: t = trig + k - m.
@@ -152,7 +155,7 @@ class FeedforwardSync:
         carrier = jnp.cos(p.nco_scale * phase + p.phase_adjust)
 
         new = FFSyncCarry(
-            i_tail=i_tail, q_tail=q_tail, sm_i_tail=sm_i_tail,
-            sm_q_tail=sm_q_tail, trig=(carry.trig + n) % p.period,
+            in_tail=in_tail, sm_i_tail=sm_i_tail, sm_q_tail=sm_q_tail,
+            trig=(carry.trig + n) % p.period,
             resid=jnp.mod(resid_u[..., -1], _FOUR_PI))
         return carrier, new

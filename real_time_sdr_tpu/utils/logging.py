@@ -84,18 +84,23 @@ def stage_costs(rx) -> list[tuple[str, dict]]:
     add("audio", rx.audio, ("audio_fir",), n_if)          # mono path
     add("audio", rx.audio, ("pilot_fir", "band_fir", "delay_fir",
                             "mono_fir", "stereo_fir"), n_if)
+    def add_sync(prefix, sync, n):
+        add(prefix, sync, ("i_fir", "q_fir"), n)
+        # one smoothing FIR object serves BOTH analytic rails (stacked
+        # batch): charge it per rail
+        for rail in ("sm(I)", "sm(Q)"):
+            out.append((f"{prefix}.{rail}", sync.sm_fir.cost(n)))
+
     sync = getattr(rx.audio, "_sync", None)
     if sync is not None:
-        add("audio.sync", sync, ("i_fir", "q_fir", "sm_fir_i", "sm_fir_q"),
-            n_if)
+        add_sync("audio.sync", sync, n_if)
     if rx.rds_path is not None:
         r = rx.rds_path
         add("rds", r, ("band_fir", "pilot_fir", "delay_fir"), n_if)
         out.append(("rds.baseband_fir", r.baseband_fir.cost(n_if)))
         out.append(("rds.rrc_fir", r.rrc_fir.cost(cfg.rds_block)))
         if r._sync is not None:
-            add("rds.sync", r._sync, ("i_fir", "q_fir", "sm_fir_i",
-                                      "sm_fir_q"), n_if)
+            add_sync("rds.sync", r._sync, n_if)
     return out
 
 
