@@ -120,8 +120,9 @@ class AltRdsReceiver:
         mu0 = comb_acquire(bb, SPS)
         syms, n_valid = mm_timing(bb, float(SPS), gain=self.mm_gain,
                                   mu0=mu0)
+        # mm_timing's buffer is zero beyond n_valid already; the mask is
+        # only needed for the differential bits below
         mask = jnp.arange(syms.shape[-1]) < n_valid
-        syms = jnp.where(mask, syms, 0.0 + 0.0j)
         # coarse acquisition (FFT of squared symbols) seeds the loop's
         # frequency state; Costas then tracks fine phase/frequency
         f0 = coarse_freq_bpsk(syms)

@@ -50,10 +50,12 @@ def coarse_freq_bpsk(z: jax.Array, nfft: int = 4096) -> jax.Array:
     rad/sample; seeding ``CostasCarry.freq`` with this estimate (accurate
     to half an FFT bin) extends acquisition to the full +-fs/4. The
     reference model has no coarse stage and relies on minutes of capture
-    (model/pySDRRDS.py:60-84)."""
+    (model/pySDRRDS.py:60-84). ``z`` is 1-D (one channel); batch with
+    jax.vmap."""
+    assert z.ndim == 1, "coarse_freq_bpsk takes a 1-D stream; vmap to batch"
     n = z.shape[-1]
     sq = jnp.zeros((nfft,), jnp.complex64)
-    sq = sq.at[: min(n, nfft)].set((z * z)[..., :nfft])
+    sq = sq.at[: min(n, nfft)].set((z * z)[:nfft])
     spec = jnp.abs(jnp.fft.fft(sq))
     k = jnp.argmax(spec)
     # map bin to signed frequency, halve (tone sits at 2*df)

@@ -188,6 +188,24 @@ def timing_init(batch: tuple = ()) -> TimingTrack:
                        locked=jnp.zeros(batch, jnp.int32))
 
 
+def comb_peak_phase(energy: jax.Array, sps: int) -> jax.Array:
+    """Fractional comb phase in [0, sps): cyclic argmax of the per-phase
+    energy (..., sps) refined by a parabolic fit of the peak and its
+    neighbours. Shared by cdr_tracked and ops.symbol_timing.comb_acquire."""
+    m = jnp.argmax(energy, axis=-1)
+    em = jnp.take_along_axis(energy, m[..., None], axis=-1)[..., 0]
+    el = jnp.take_along_axis(energy, ((m - 1) % sps)[..., None],
+                             axis=-1)[..., 0]
+    er = jnp.take_along_axis(energy, ((m + 1) % sps)[..., None],
+                             axis=-1)[..., 0]
+    denom = el - 2.0 * em + er
+    delta = jnp.where(jnp.abs(denom) > 1e-9,
+                      0.5 * (el - er) / jnp.where(denom == 0, 1.0, denom),
+                      0.0)
+    return jnp.mod(m.astype(jnp.float32) + jnp.clip(delta, -0.5, 0.5),
+                   float(sps))
+
+
 def cdr_tracked(rds_clean: jax.Array, track: TimingTrack, sps: int,
                 max_symbols: int, phase_gain: float = 0.3,
                 rate_gain: float = 0.08):
@@ -209,18 +227,7 @@ def cdr_tracked(rds_clean: jax.Array, track: TimingTrack, sps: int,
     n_comb = L // sps
     energy = a[..., :n_comb * sps].reshape(
         a.shape[:-1] + (n_comb, sps)).sum(axis=-2)   # (..., sps)
-    m = jnp.argmax(energy, axis=-1)
-    # parabolic interpolation around the peak (cyclic neighbours)
-    em = jnp.take_along_axis(energy, m[..., None], axis=-1)[..., 0]
-    el = jnp.take_along_axis(energy, ((m - 1) % sps)[..., None],
-                             axis=-1)[..., 0]
-    er = jnp.take_along_axis(energy, ((m + 1) % sps)[..., None],
-                             axis=-1)[..., 0]
-    denom = el - 2.0 * em + er
-    delta = jnp.where(jnp.abs(denom) > 1e-9,
-                      0.5 * (el - er) / jnp.where(denom == 0, 1.0, denom),
-                      0.0)
-    o_meas = jnp.mod(m.astype(jnp.float32) + jnp.clip(delta, -0.5, 0.5), sps)
+    o_meas = comb_peak_phase(energy, sps)
 
     def wrap_half(d):
         return jnp.mod(d + 0.5 * sps, sps) - 0.5 * sps

@@ -57,17 +57,11 @@ def comb_acquire(z: jax.Array, sps: int) -> jax.Array:
     the reference model gets away with mu0=0.01 only because its capture
     is minutes long, model/pySDRRDS.py:41); one vectorized reshape-reduce
     puts the loop on a peak immediately. Returns f32 phase in [0, sps)."""
+    from real_time_sdr_tpu.ops.rds_bits import comb_peak_phase
+
     n = (z.shape[-1] // sps) * sps
     e = jnp.mean(jnp.abs(z[..., :n].reshape(-1, sps)) ** 2, axis=0)
-    p = jnp.argmax(e)
-    em = e[(p - 1) % sps]
-    ep = e[(p + 1) % sps]
-    e0 = e[p]
-    denom = em - 2.0 * e0 + ep
-    frac = jnp.where(jnp.abs(denom) > 1e-12,
-                     0.5 * (em - ep) / denom, 0.0)
-    return jnp.mod(p.astype(jnp.float32) + jnp.clip(frac, -0.5, 0.5),
-                   float(sps))
+    return comb_peak_phase(e, sps)
 
 
 def mm_timing(z: jax.Array, sps: float, gain: float = 0.01,
@@ -77,7 +71,10 @@ def mm_timing(z: jax.Array, sps: float, gain: float = 0.01,
 
     Returns (symbols (n_max,) complex64 zero-padded, n_valid int32)."""
     n = z.shape[-1]
-    n_max = int(n / sps) + 4
+    # 1% rate margin: a fast transmitter clock produces more than n/sps
+    # symbols and the loop must not truncate the tail (10000 ppm headroom
+    # vs the +-400 ppm the tests drive)
+    n_max = int(n / sps * 1.01) + 8
 
     def interp(i, mu):
         pair = jax.lax.dynamic_slice(z, (i,), (2,))

@@ -92,7 +92,7 @@ def time_sharded_run(rx: Receiver, mesh: Mesh, blocks: jax.Array,
     if not exact:
         return _approx_run(rx, mesh, blocks, axis, overlap, t)
     if t == 1:
-        state, outs = rx.run_blocks(rx.init_state(), blocks)
+        _, outs = rx.jit_run_blocks(rx.init_state(), blocks)
         return outs
 
     # The whole exact pipeline (sharded DSP + sign chain + global decode)
@@ -197,6 +197,13 @@ def _build_exact_pipeline(rx: Receiver, mesh: Mesh, axis: str,
 def _approx_run(rx: Receiver, mesh: Mesh, blocks: jax.Array, axis: str,
                 overlap: int, t: int):
     """Warm-up re-acquisition sharding for tier-1/2 (loop PLL) receivers."""
+    # cached per (mesh, geometry) like the exact pipeline — a fresh closure
+    # per call would re-trace and re-compile the B-block scan every time
+    cache = rx.__dict__.setdefault("_time_shard_cache", {})
+    key = ("approx", mesh, axis, overlap, blocks.shape, str(blocks.dtype))
+    fn = cache.get(key)
+    if fn is not None:
+        return fn(blocks)
 
     @functools.partial(
         jax.shard_map, mesh=mesh, in_specs=P(axis),
@@ -220,4 +227,6 @@ def _approx_run(rx: Receiver, mesh: Mesh, blocks: jax.Array, axis: str,
         _final, outs = rx.run_blocks(state0, local_blocks)
         return outs
 
-    return run(blocks)
+    jit_run = jax.jit(run)
+    cache[key] = jit_run
+    return jit_run(blocks)
