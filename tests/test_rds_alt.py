@@ -70,3 +70,35 @@ def test_comb_acquire_unit():
     z = np.convolve(z, [0.5, 1.0, 0.5], mode="same").astype(np.complex64)
     got = float(comb_acquire(jnp.asarray(z), sps))
     assert abs(got - true_phase) < 0.25, got
+
+
+def test_mm_fast_clock_does_not_truncate_tail():
+    """A fast symbol clock produces MORE than n/sps symbols; the output
+    buffer bound must cover the excess or the loop silently drops the tail
+    (regression: old bound int(n/sps)+4 truncated at +400 ppm on long
+    captures)."""
+    import jax.numpy as jnp
+
+    from real_time_sdr_tpu.ops.filters import design_rrc
+    from real_time_sdr_tpu.ops.symbol_timing import mm_timing
+
+    sps, n_sym = 16.0, 30_000          # ~25 s of RDS, fast TX clock
+    eff_sps = sps * (1.0 - 2000e-6)    # fewer samples per symbol = fast TX
+    rng = np.random.default_rng(1)
+    sym = rng.choice([-1.0, 1.0], size=n_sym)
+    pos = np.arange(n_sym) * eff_sps
+    n = int(pos[-1]) + int(sps) + 2
+    # impulses at fractional instants (linear split), RRC pulse shaping
+    z = np.zeros(n + 1, np.float64)
+    i0 = pos.astype(np.int64)
+    np.add.at(z, i0, sym * (1.0 - (pos - i0)))
+    np.add.at(z, i0 + 1, sym * (pos - i0))
+    rrc = np.asarray(design_rrc(2375.0 * sps, 151), np.float64)
+    z = np.convolve(z, rrc, mode="same")[:n].astype(np.complex64)
+    syms, n_valid = mm_timing(jnp.asarray(z), sps, gain=0.05, mu0=0.0)
+    expect = n / eff_sps               # true symbol count in the capture
+    # the loop must run past the OLD buffer bound (int(n/sps)+4) and land
+    # near the true count (small slack for the acquisition transient)
+    assert int(n_valid) > int(n / sps) + 4, (int(n_valid), n / sps)
+    assert int(n_valid) >= expect * 0.998, (int(n_valid), expect)
+    assert int(n_valid) < syms.shape[-1]   # exited on input, not the buffer
