@@ -306,6 +306,8 @@ def main(argv=None) -> int:
             print(f"Program Service: {val}", file=sys.stderr)
         elif kind == "radiotext":
             print(f"RadioText: {val}", file=sys.stderr)
+        elif kind == "ptyn":
+            print(f"Program Type Name: {val}", file=sys.stderr)
         elif kind == "clock":
             print(f"Clock Time: {val}", file=sys.stderr)
         elif kind == "af":

@@ -11,9 +11,10 @@ Differences from the reference, by design:
 - syndromes come from the CRC remainder convention, proven decision-identical
   to the reference's parity-matrix-with-table comparison (both are rank-10
   maps with the RBDS code as kernel — see tests/test_rds_codec_golden.py);
-- group types 2A/2B (RadioText, mirroring model/OurRDSOurDSP.py:486-528)
-  and 4A (clock-time/date) are parsed in addition to type 0 (Program
-  Service); both framers share one parser (`_GroupParsing`).
+- group types 2A/2B (RadioText, mirroring model/OurRDSOurDSP.py:486-528),
+  4A (clock-time/date) and 10A (Program Type Name) are parsed in addition
+  to type 0 (Program Service); both framers share one parser
+  (`_GroupParsing`).
 """
 
 from __future__ import annotations
@@ -52,6 +53,7 @@ class RdsEvents:
     pty: str | None = None
     ps_name: str | None = None
     radiotext: str = " " * 64
+    ptyn: str | None = None                # Program Type Name (10A)
     clock_utc: str | None = None
     traffic_program: bool | None = None    # TP (block B bit 10)
     traffic_announcement: bool | None = None  # TA (0A/0B block B bit 4)
@@ -129,6 +131,20 @@ class _GroupParsing:
             if ct is not None:
                 ev.clock_utc = ct
                 self._on_event("clock", ct)
+        elif group_type == 10 and not version_b:
+            # 10A Program Type Name: 8 chars over 2 segments (block B bit 0),
+            # 4 chars per group from blocks C+D; A/B flag toggle clears
+            seg = b & 1
+            ab_flag = (b >> 4) & 1
+            if getattr(self, "_ptyn_flag", None) not in (None, ab_flag):
+                self._ptyn = [" "] * 8
+            self._ptyn_flag = ab_flag
+            chars = ((c >> 8) & 0xFF, c & 0xFF, (d >> 8) & 0xFF, d & 0xFF)
+            for j, ch in enumerate(chars):
+                self._ptyn[seg * 4 + j] = chr(ch) if 32 <= ch < 127 else " "
+            if seg == 1:
+                ev.ptyn = "".join(self._ptyn)
+                self._on_event("ptyn", ev.ptyn)
 
 
 _BURST_TABLE: dict[int, tuple[int, int]] | None = None
@@ -219,6 +235,7 @@ class RdsFramer(_GroupParsing):
         self._window: list[str] = []
         self._ps_chars = 0
         self._rt = [" "] * 64
+        self._ptyn = [" "] * 8
         self.events = RdsEvents()
         self._on_event = on_event or (lambda kind, val: None)
         # correct_bursts = max burst span to repair (0 disables, code limit
@@ -330,6 +347,8 @@ class RdsFramer(_GroupParsing):
             "run": self._run,
             "corr_streak": self._corr_streak,
             "rt_flag": getattr(self, "_rt_flag", None),
+            "ptyn": "".join(self._ptyn),
+            "ptyn_flag": getattr(self, "_ptyn_flag", None),
             "events": dataclasses.asdict(self.events),
         }
 
@@ -343,6 +362,8 @@ class RdsFramer(_GroupParsing):
         self._run = int(d["run"])
         self._corr_streak = int(d["corr_streak"])
         self._rt_flag = d.get("rt_flag")
+        self._ptyn = list(d.get("ptyn", " " * 8))
+        self._ptyn_flag = d.get("ptyn_flag")
         ev = dict(d["events"])
         ev["alt_freqs_mhz"] = tuple(ev.get("alt_freqs_mhz", ()))
         self.events = RdsEvents(**ev)
@@ -390,6 +411,7 @@ class SyncByOffsetDecoder(_GroupParsing):
         self.events = RdsEvents()
         self._ps_chars = 0
         self._rt = [" "] * 64
+        self._ptyn = [" "] * 8
         self._crc_cache: dict[int, int] = {}
 
     def _syndrome(self, word26: int) -> int:
@@ -491,6 +513,8 @@ class SyncByOffsetDecoder(_GroupParsing):
             "ps_chars": self._ps_chars,
             "rt": "".join(self._rt),
             "rt_flag": getattr(self, "_rt_flag", None),
+            "ptyn": "".join(self._ptyn),
+            "ptyn_flag": getattr(self, "_ptyn_flag", None),
             "events": dataclasses.asdict(self.events),
         }
 
@@ -507,6 +531,8 @@ class SyncByOffsetDecoder(_GroupParsing):
         self._ps_chars = int(d["ps_chars"])
         self._rt = list(d["rt"])
         self._rt_flag = d.get("rt_flag")
+        self._ptyn = list(d.get("ptyn", " " * 8))
+        self._ptyn_flag = d.get("ptyn_flag")
         ev = dict(d["events"])
         ev["alt_freqs_mhz"] = tuple(ev.get("alt_freqs_mhz", ()))
         self.events = RdsEvents(**ev)

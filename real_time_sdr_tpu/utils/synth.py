@@ -109,6 +109,24 @@ def radiotext_2b_groups(pi: int, pty: int, text: str) -> list[list[int]]:
     return out
 
 
+def ptyn_groups(pi: int, pty: int, name: str,
+                ab_flag: int = 0) -> list[list[int]]:
+    """Group-type-10A pair carrying the 8-char Program Type Name
+    (4 chars per segment from blocks C+D; block B bit 0 = segment,
+    bit 4 = A/B flag)."""
+    assert len(name) <= 8
+    name = name.ljust(8)
+    out = []
+    for seg in range(2):
+        chunk = name[4 * seg: 4 * seg + 4]
+        c = (ord(chunk[0]) << 8) | ord(chunk[1])
+        d = (ord(chunk[2]) << 8) | ord(chunk[3])
+        g = encode_group(pi, 10, pty, seg, c, d)
+        g[1] = (g[1] & ~0x1F) | ((ab_flag & 1) << 4) | seg
+        out.append(g)
+    return out
+
+
 def date_to_mjd(year: int, month: int, day: int) -> int:
     """(year, month, day) -> Modified Julian Date, per the RDS spec annex."""
     lflag = 1 if month in (1, 2) else 0
@@ -222,6 +240,7 @@ def fm_iq(rf_fs: int, n_samples: int, *,
 def station_iq(cfg: ReceiverConfig, n_blocks: int, *,
                ps_name: str = "TPU-FM  ", pi: int = 0x3A5C, pty: int = 5,
                radiotext: str | None = None,
+               ptyn: str | None = None,
                clock: tuple[int, ...] | None = None,
                af_mhz: tuple[float, ...] = (),
                tone_left: float = 440.0, tone_right: float = 1200.0,
@@ -237,6 +256,8 @@ def station_iq(cfg: ReceiverConfig, n_blocks: int, *,
     groups = ps_groups(pi, pty, ps_name, af_mhz=af_mhz)
     if radiotext is not None:
         groups = groups + radiotext_groups(pi, pty, radiotext)
+    if ptyn is not None:
+        groups = groups + ptyn_groups(pi, pty, ptyn)
     if clock is not None:
         groups = groups + [clocktime_group(pi, pty, *clock)]
     bits = [b for g in groups for b in group_to_bits(g)]
@@ -249,7 +270,7 @@ def station_iq(cfg: ReceiverConfig, n_blocks: int, *,
                stereo_diff=(left - right) / 2, rds_symbols=syms,
                rds_sps=cfg.sps, **kw)
     truth = dict(ps_name=ps_name, pi=pi, pty=pty, left=left, right=right,
-                 bits=bits, radiotext=radiotext, clock=clock)
+                 bits=bits, radiotext=radiotext, ptyn=ptyn, clock=clock)
     return iq, truth
 
 

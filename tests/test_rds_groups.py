@@ -255,3 +255,32 @@ def test_mixed_group_schedule_full_station_metadata():
     assert fr.events.ps_name == "TPU SDR "
     assert fr.events.radiotext.startswith("ALL GROUP TYPES AT ONCE")
     assert fr.events.clock_utc == "2031-12-31 23:59 UTC+1.0"
+
+
+def test_ptyn_10a_decodes_in_both_framers():
+    groups = synth.ptyn_groups(0x6F01, 10, "FOOTBALL")
+    for framer in (RdsFramer(), SyncByOffsetDecoder()):
+        _feed(framer, groups, repeats=3)
+        assert framer.events.ptyn == "FOOTBALL", type(framer).__name__
+        assert framer.events.pi == 0x6F01
+
+
+def test_ptyn_ab_flag_toggle_clears_previous_name():
+    fr = RdsFramer()
+    _feed(fr, synth.ptyn_groups(0x6F01, 10, "FOOTBALL", ab_flag=0), repeats=2)
+    assert fr.events.ptyn == "FOOTBALL"
+    # new message under the toggled flag: only segment 1 arrives first,
+    # so the stale "FOOT" chars must have been cleared, not kept
+    seg1_only = synth.ptyn_groups(0x6F01, 10, "NEWS    ", ab_flag=1)[1:]
+    _feed(fr, seg1_only, repeats=2)
+    assert fr.events.ptyn == "        "  # segment 0 not yet received
+
+
+def test_ptyn_state_survives_checkpoint():
+    fr = RdsFramer()
+    _feed(fr, synth.ptyn_groups(0x6F01, 10, "FOOTBALL")[:1], repeats=1)
+    blob = fr.state_dict()
+    resumed = RdsFramer()
+    resumed.load_state_dict(blob)
+    _feed(resumed, synth.ptyn_groups(0x6F01, 10, "FOOTBALL")[1:], repeats=1)
+    assert resumed.events.ptyn == "FOOTBALL"
