@@ -205,6 +205,11 @@ def main() -> None:
         _result = _better(
             _collect_cpu_insurance(ins_proc, min(150.0, remaining() * 0.6)),
             _result)
+        if _result is not None:
+            # label the record so a CPU fallback is never mistaken for the
+            # TPU number (the device's measured figure lives in BENCH_NOTES)
+            _result["device"] = (_result.get("device", "cpu")
+                                 + " FALLBACK: tpu tunnel down")
         print("# device tunnel down for the whole budget; reporting the "
               "CPU fallback number", file=sys.stderr)
         return  # atexit emits the best result
@@ -321,6 +326,7 @@ def main() -> None:
                 "value": round(realtime_x, 2),
                 "unit": unit,
                 "vs_baseline": round(realtime_x, 2),
+                "device": jax.devices()[0].device_kind,
             }, _result)
             last_rung_cost = time.perf_counter() - t_rung
             print(f"# rung {n_ch}ch x {n_blk}blk: {realtime_x:.0f}x realtime "
