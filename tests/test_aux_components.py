@@ -37,6 +37,12 @@ def test_fft_equivalence_ladder():
         jnp.asarray(x.astype(np.complex64)))))
     np.testing.assert_allclose(back, x, atol=1e-4)
     assert np.asarray(fourier.magnitude(jnp.asarray(ref))).min() >= 0
+    # Parseval energy check (model/fourierTransform.py:219-228): time-domain
+    # energy == spectrum energy / N, for every rung of the ladder
+    e_time = float(np.sum(np.abs(x) ** 2))
+    for fn in (fourier.fft, fourier.dft_matmul, fourier.fft_stockham):
+        e_freq = float(np.sum(np.abs(np.asarray(fn(xc))) ** 2)) / len(x)
+        np.testing.assert_allclose(e_freq, e_time, rtol=1e-4)
 
 
 def test_bin_io_roundtrip(tmp_path):
