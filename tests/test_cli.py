@@ -132,3 +132,57 @@ def test_cli_wideband_multistation(tmp_path):
         a = (outdir / f"station_{k}.pcm").read_bytes()
         b = (outdir2 / f"station_{k}.pcm").read_bytes()
         assert a == b
+
+
+def test_cli_wideband_corrupt_sidecar_starts_fresh(tmp_path):
+    """A truncated/corrupt .rds.json must rebuild ALL framers (not leave
+    half-loaded state) and still decode correctly."""
+    from real_time_sdr_tpu.utils import synth as _synth
+
+    cfg = mode_config(0)
+    iw, qw, _ = _synth.wideband_iq(
+        cfg, 4 * cfg.rf_fs,
+        [dict(offset_hz=-1_000_000, ps_name="FRESH-OK", pi=0xC1C1, pty=2)],
+        26)
+    iq = np.empty(2 * len(iw))
+    iq[0::2] = iw
+    iq[1::2] = qw
+    wb = tmp_path / "wb.raw"
+    np.clip(np.round(128 + 127 * iq), 0, 255).astype(np.uint8).tofile(wb)
+
+    ck = tmp_path / "ck"
+    args = ["0", "r", "--stations=-1000000", "--wide-fs", "9600000",
+            "--output-dir", str(tmp_path / "out"), "--checkpoint", str(ck)]
+    r1 = run_cli(args, wb)
+    assert r1.returncode == 0
+    assert (tmp_path / "ck.rds.json").exists()
+    # corrupt the sidecar: truncated JSON (e.g. a crash mid-write without
+    # the atomic rename)
+    (tmp_path / "ck.rds.json").write_text('{"kind": "wideband", "framers"')
+    (tmp_path / "ck.npz").unlink()  # DSP state fresh too: clean restart
+    r2 = run_cli(args, wb)
+    assert r2.returncode == 0
+    err = r2.stderr.decode()
+    assert "starting fresh" in err
+    assert "ch0 ps: FRESH-OK" in err  # rebuilt framers still decode
+
+
+def test_cli_mode2_stereo_rds(tmp_path):
+    """A non-mode-0 rate preset (fractional audio resample) end-to-end
+    through the CLI pipe contract."""
+    from real_time_sdr_tpu.utils import synth as _synth
+
+    cfg2 = mode_config(2)
+    n_blk = 40  # mode-2 blocks carry fewer groups each; PS needs 4 segments
+    iq, _ = _synth.station_iq(cfg2, n_blk, ps_name="MODE2-OK", pi=0x9292,
+                              pty=7)
+    p = tmp_path / "m2.raw"
+    iq.tofile(p)
+    r = run_cli(["2", "r", "--output", str(tmp_path / "m2.pcm")], p)
+    assert r.returncode == 0
+    err = r.stderr.decode()
+    assert "PI: 9292" in err
+    assert "Program Service: MODE2-OK" in err
+    pcm = np.fromfile(tmp_path / "m2.pcm", "<i2")
+    assert len(pcm) == n_blk * cfg2.audio_block * 2
+    assert np.abs(pcm).max() > 1000  # real audio, not silence
