@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import dataclasses
 from fractions import Fraction
-from math import gcd
 
 
 @dataclasses.dataclass(frozen=True)
@@ -93,14 +92,19 @@ class ReceiverConfig:
 
     @property
     def max_bits(self) -> int:
-        """Static upper bound on Manchester-decoded bits per block
-        (half the symbols, +1 for a carried half-symbol)."""
+        """Static upper bound on Manchester-decoded bits per block (half
+        the symbols, +1 for a carried half-symbol, +1 ceil slack)."""
         return self.max_symbols // 2 + 2
 
     def __post_init__(self):
         assert (1470 * self.rf_decim * self.audio_down) % self.audio_up == 0
         assert self.rf_taps % 2 == 1, "odd tap count keeps group delay integral"
-        assert gcd(*self.rds_resample) == 1
+        # audio.py derives its IF rate as rf_fs // rf_decim while rds.py
+        # reads if_fs directly; both paths share one demod stream, so a
+        # mismatched custom config would silently decode garbage
+        assert self.if_fs == self.rf_fs // self.rf_decim, (
+            f"if_fs {self.if_fs} != rf_fs/rf_decim "
+            f"{self.rf_fs // self.rf_decim}")
 
 
 def mode_config(mode: int) -> ReceiverConfig:

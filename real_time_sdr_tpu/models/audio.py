@@ -83,7 +83,9 @@ class StereoPath:
             filters.design_bpf(fs_if, *C.STEREO_BAND, cfg.rf_taps))
         self.delay_fir = PolyFIR(filters.design_apf(cfg.rf_taps))
         self.mono_fir = _audio_bank(cfg)
-        self.stereo_fir = _audio_bank(cfg)
+        # same tap bank, different input stream; PolyFIR is stateless
+        # (tails are passed in), so one designed object serves both rails
+        self.stereo_fir = self.mono_fir
         self._pb_bank = make_bank([self.pilot_fir, self.band_fir],
                                   site="if")
         # mono_fir and stereo_fir are the SAME tap bank on different inputs:

@@ -13,8 +13,9 @@ Mixer exactness: the per-sample tone table exp(-2*pi*j*(f*k mod fs)/fs) is
 computed on the host with arbitrary-precision integer phase reduction (a
 device-side f*k product overflows int32 by orders of magnitude) and cached
 as a device constant per segment length; cross-segment phase continuity is
-carried as a unit phasor advanced by the exact per-segment rotation and
-renormalized.
+carried as a unit phasor advanced by the per-segment rotation (computed in
+f64 on the host, then stored/multiplied in f32 on device — so continuity is
+accurate to f32, ~1e-7 rad/segment, not bit-exact) and renormalized.
 """
 
 from __future__ import annotations
@@ -101,8 +102,13 @@ class Channelizer:
         # (i + jq) * (c + j s_): downshift by +offset
         mi = i_wide[None, :] * c - q_wide[None, :] * s_
         mq = q_wide[None, :] * c + i_wide[None, :] * s_
-        i_ds, i_tails = self.fir(mi, state.i_tails)
-        q_ds, q_tails = self.fir(mq, state.q_tails)
+        # both rails through ONE framed-matmul dispatch (stays 2-D per call)
+        s_ch = len(self.offsets)
+        ds, tails = self.fir(
+            jnp.concatenate([mi, mq], axis=0),
+            jnp.concatenate([state.i_tails, state.q_tails], axis=0))
+        i_ds, q_ds = ds[:s_ch], ds[s_ch:]
+        i_tails, q_tails = tails[:s_ch], tails[s_ch:]
         # advance + renormalize the continuity phasor
         pr = state.ph_re * rot_re - state.ph_im * rot_im
         pi_ = state.ph_re * rot_im + state.ph_im * rot_re

@@ -52,6 +52,9 @@ class Receiver:
                  rds_timing: str = "comb", frontend_impl: str | None = None):
         if isinstance(cfg, int):
             cfg = mode_config(cfg)
+        if pll_tier not in (1, 2, 3):
+            raise ValueError(f"pll_tier must be 1 (exact scan), 2 (Newton) "
+                             f"or 3 (feedforward); got {pll_tier!r}")
         self.cfg = cfg
         self.stereo = stereo
         self.rds = rds
@@ -179,9 +182,16 @@ class Receiver:
         n_blocks = iq_segment.shape[-1] // blk
         # tile_blocks >= 2: the nb==1 step path emits outputs without a
         # block axis, which the per-tile joins below cannot restack
-        if (tile_blocks < 2 or n_blocks <= tile_blocks
-                or n_blocks % tile_blocks):
-            return self.step(state, iq_segment)
+        if tile_blocks < 2 or n_blocks <= tile_blocks:
+            return self.step(state, iq_segment)  # one small pass is fine
+        if n_blocks % tile_blocks:
+            # refusing beats silently compiling the giant untiled graph
+            # the tiling exists to avoid (compile blow-up, CLAUDE.md)
+            raise ValueError(
+                f"run_segment_tiled: {n_blocks} blocks not divisible by "
+                f"tile_blocks={tile_blocks}; pad the segment or pick a "
+                "divisor (host-chained run_segment calls are the "
+                "recommended serving path anyway)")
         n_tiles = n_blocks // tile_blocks
         lead = iq_segment.shape[:-1]
         tiles = jnp.moveaxis(

@@ -134,8 +134,9 @@ class FramedFIRBank:
         n_out, R, stride, s_eff, w_pad, tf, nbf, rows_total, rp = \
             self._plan(n)
         nf = len(self.firs)
+        from real_time_sdr_tpu.ops.fir import barrier
         xx = jnp.concatenate([tail, x.astype(tail.dtype)], axis=-1)
-        xx = jax.lax.optimization_barrier(xx)
+        xx = barrier(xx, "polyfir")  # tagged: RTSDR_NO_BARRIER A/B-able
         new_tail = (xx[..., xx.shape[-1] - self.tail_len:]
                     if self.tail_len else xx[..., :0])
         pad = rows_total * stride - xx.shape[-1]
