@@ -186,3 +186,20 @@ def test_cli_mode2_stereo_rds(tmp_path):
     pcm = np.fromfile(tmp_path / "m2.pcm", "<i2")
     assert len(pcm) == n_blk * cfg2.audio_block * 2
     assert np.abs(pcm).max() > 1000  # real audio, not silence
+
+
+def test_cli_survives_pure_noise(tmp_path):
+    """Tuned to static: random IQ must stream through the full stereo+RDS
+    chain without a crash, producing the right PCM byte count (protocol
+    events on garbage are statistically possible but the decoder must not
+    wedge or error)."""
+    cfg = mode_config(0)
+    rng = np.random.default_rng(11)
+    nb = 8
+    rng.integers(0, 256, size=nb * 2 * cfg.block_size_iq,
+                 dtype=np.uint8).tofile(tmp_path / "noise.raw")
+    r = run_cli(["0", "r", "--output", str(tmp_path / "n.pcm")],
+                tmp_path / "noise.raw")
+    assert r.returncode == 0
+    assert len(np.fromfile(tmp_path / "n.pcm", "<i2")) == (
+        nb * cfg.audio_block * 2)
