@@ -31,7 +31,11 @@ CONFIGS = [
     ("no-pll", "pll"),
     ("no-polyfir", "polyfir"),
     ("no-shared", "shared"),
-    ("no-fir-all", "polyfir,shared"),
+    # the fused Pallas frontend and dual-phase XLA frontend sites are
+    # tagged "frontend"/"dualphase" (added after the 2026-08-18 sweep,
+    # which could not measure them)
+    ("no-frontend", "frontend,dualphase"),
+    ("no-fir-all", "polyfir,shared"),  # kept as recorded in BENCH_NOTES
     ("no-all", "all"),
 ]
 
