@@ -131,3 +131,29 @@ def test_time_sharding_matches_sequential_steady_state(overlap):
             sig = np.mean(ref_b ** 2) + 1e-12
             snr = 10 * np.log10(sig / (err + 1e-12))
             assert snr > 25, f"shard {shard} block {b}: snr {snr:.1f}"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("t,n_blocks,overlap", [(2, 6, 1), (8, 16, 2)])
+def test_time_sharding_exact_geometry_sweep(t, n_blocks, overlap):
+    """Exactness is a structural property, not a fixed-geometry accident:
+    other shard counts, blocks-per-shard, and overlap depths must also be
+    bit-identical (RDS) / float-exact (audio) vs sequential."""
+    rx = Receiver(0, stereo=True, rds=True, pll_tier=3)
+    iq, _ = synth.station_iq(rx.cfg, n_blocks, ps_name="GEOSWEEP")
+    blocks = jnp.asarray(iq.reshape(n_blocks, -1))
+
+    mesh = Mesh(np.array(jax.devices()[:t]).reshape(1, t), ("ch", "time"))
+    outs = time_sharded_run(rx, mesh, blocks, overlap=overlap)
+    _, seq = rx.jit_run_blocks(rx.init_state(), blocks)
+
+    for name in ("left", "right"):
+        got = np.asarray(getattr(outs, name))
+        ref = np.asarray(getattr(seq, name))
+        snr = 10 * np.log10(np.mean(ref ** 2) /
+                            (np.mean((ref - got) ** 2) + 1e-30))
+        assert snr > 100, f"t={t}: {name} snr {snr:.1f} dB"
+    np.testing.assert_array_equal(np.asarray(outs.rds_nbits),
+                                  np.asarray(seq.rds_nbits))
+    np.testing.assert_array_equal(np.asarray(outs.rds_bits),
+                                  np.asarray(seq.rds_bits))
