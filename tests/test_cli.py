@@ -152,9 +152,11 @@ def test_cli_wideband_corrupt_sidecar_starts_fresh(tmp_path):
 
     ck = tmp_path / "ck"
     args = ["0", "r", "--stations=-1000000", "--wide-fs", "9600000",
-            "--output-dir", str(tmp_path / "out"), "--checkpoint", str(ck)]
+            "--output-dir", str(tmp_path / "out"), "--checkpoint", str(ck),
+            "--warmup"]  # also covers the wideband compile-before-consume path
     r1 = run_cli(args, wb)
     assert r1.returncode == 0
+    assert b"warmed up (compiled)" in r1.stderr
     assert (tmp_path / "ck.rds.json").exists()
     # corrupt the sidecar: truncated JSON (e.g. a crash mid-write without
     # the atomic rename)
