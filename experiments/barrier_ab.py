@@ -35,6 +35,11 @@ CONFIGS = [
     # tagged "frontend"/"dualphase" (added after the 2026-08-18 sweep,
     # which could not measure them)
     ("no-frontend", "frontend,dualphase"),
+    # pairwise combos: no-frontend and no-polyfir each measured a real
+    # ~+1.7% on 2026-08-19 (repeatability <0.2%, so the earlier "ties
+    # within noise" call was too conservative); check they compose
+    ("no-fe-poly", "frontend,dualphase,polyfir"),
+    ("no-fe-poly-pll", "frontend,dualphase,polyfir,pll"),
     ("no-fir-all", "polyfir,shared"),  # kept as recorded in BENCH_NOTES
     ("no-all", "all"),
 ]
@@ -113,7 +118,15 @@ def main() -> None:
     for name, no_barrier in CONFIGS:
         if want and name not in want:
             continue
-        env = dict(os.environ, RTSDR_NO_BARRIER=no_barrier)
+        # The production default now drops the frontend-site barriers
+        # (ops/fir.py _DEFAULT_OFF); force every barrier a config does
+        # not explicitly drop, so "baseline" still means ALL barriers.
+        dropped = {t.strip() for t in no_barrier.split(",") if t.strip()}
+        forced = ("" if "all" in dropped else ",".join(
+            sorted({"pll", "polyfir", "shared", "frontend", "dualphase"}
+                   - dropped)))
+        env = dict(os.environ, RTSDR_NO_BARRIER=no_barrier,
+                   RTSDR_BARRIER=forced)
         cmd = [sys.executable, os.path.abspath(__file__), "--child",
                "--channels", str(args.channels), "--blocks",
                str(args.blocks)]

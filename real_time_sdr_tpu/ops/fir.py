@@ -42,19 +42,32 @@ import numpy as np
 
 __all__ = ["PolyFIR", "state_len", "init_state", "make_bank", "barrier"]
 
-# Experiment hook: RTSDR_NO_BARRIER="tag1,tag2" (or "all") drops the
-# fusion barriers at the named sites so the effect can be MEASURED per
-# site on real hardware (bench/barrier_ab.py). Default keeps every
-# barrier — the measured-safe configuration (see the comment in
-# PolyFIR.__call__ and CLAUDE.md).
+# Experiment hooks: RTSDR_NO_BARRIER="tag1,tag2" (or "all") drops the
+# fusion barriers at the named sites; RTSDR_BARRIER="tag1,tag2" force-keeps
+# them, so the effect can be MEASURED per site on real hardware
+# (experiments/barrier_ab.py).
+#
+# Defaults (v5e A/B, 2026-08-19 sweep, digests byte-identical throughout):
+# the FRONTEND sites ("dualphase"/"frontend") ship barrier-free — removing
+# them is a repeatable +1.7% (3226x vs 3172x at 32ch x 12blk; spread <0.2%
+# across runs) for ~2x frontend-stage compile (10-19 s, still seconds).
+# Every other FIR-site + PLL barrier stays: individually they are ties
+# within noise, and removing the polyfir+shared set together reproduces
+# the XLA fusion-search compile explosion (>480 s; BENCH_NOTES.md).
 _NO_BARRIER = frozenset(
     t.strip() for t in os.environ.get("RTSDR_NO_BARRIER", "").split(",")
     if t.strip())
+_FORCE_BARRIER = frozenset(
+    t.strip() for t in os.environ.get("RTSDR_BARRIER", "").split(",")
+    if t.strip())
+_DEFAULT_OFF = frozenset(("dualphase", "frontend"))
 
 
 def barrier(x, tag: str):
     """``jax.lax.optimization_barrier`` unless disabled for ``tag``."""
-    if "all" in _NO_BARRIER or tag in _NO_BARRIER:
+    if tag not in _FORCE_BARRIER and (
+            "all" in _NO_BARRIER or tag in _NO_BARRIER
+            or tag in _DEFAULT_OFF):
         return x
     return jax.lax.optimization_barrier(x)
 
