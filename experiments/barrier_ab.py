@@ -1,12 +1,15 @@
 """A/B: which fusion barriers actually pay for themselves on TPU?
 
-The receiver keeps ``optimization_barrier`` calls at FIR-stage inputs and
-around the PLL because XLA's fusion search over chained frame-construction
-patterns (pad/reshape/slice/concat) was measured to explode compile time
-(>15 min) and runtime (~50x) on the full RDS chain. That measurement
-predates the shared-frame IF bank and the fused Pallas frontend, which
-shortened the chain — so this experiment re-measures each barrier site
-individually via the ``RTSDR_NO_BARRIER`` hook (ops/fir.py).
+The receiver keeps ``optimization_barrier`` calls at most FIR-stage inputs
+and around the PLL because XLA's fusion search over chained
+frame-construction patterns (pad/reshape/slice/concat) was measured to
+explode compile time (>15 min) and runtime (~50x) on the full RDS chain.
+Since the 2026-08-19 sweep the FRONTEND sites ("dualphase"/"frontend")
+ship barrier-free by default (repeatable +1.7%; ops/fir.py _DEFAULT_OFF,
+``RTSDR_BARRIER=dualphase,frontend`` restores them); every other site
+stays. This experiment re-measures each site via the ``RTSDR_NO_BARRIER``
+hook, force-pinning all non-dropped sites so "baseline" always means ALL
+barriers regardless of the shipping default.
 
 Each config runs in a SUBPROCESS under a hard timeout (a fusion explosion
 must not take the session down) and reports compile seconds, per-run
@@ -122,9 +125,9 @@ def main() -> None:
         # (ops/fir.py _DEFAULT_OFF); force every barrier a config does
         # not explicitly drop, so "baseline" still means ALL barriers.
         dropped = {t.strip() for t in no_barrier.split(",") if t.strip()}
+        from real_time_sdr_tpu.ops.fir import ALL_BARRIER_TAGS
         forced = ("" if "all" in dropped else ",".join(
-            sorted({"pll", "polyfir", "shared", "frontend", "dualphase"}
-                   - dropped)))
+            sorted(ALL_BARRIER_TAGS - dropped)))
         env = dict(os.environ, RTSDR_NO_BARRIER=no_barrier,
                    RTSDR_BARRIER=forced)
         cmd = [sys.executable, os.path.abspath(__file__), "--child",

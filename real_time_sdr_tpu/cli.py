@@ -31,10 +31,14 @@ def make_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="real_time_sdr_tpu",
         description="TPU-native FM mono/stereo receiver with RDS decoding")
-    ap.add_argument("mode", type=int, choices=(0, 1, 2, 3),
-                    help="sample-rate mode (src/project.cpp:67-108)")
-    ap.add_argument("type", choices=("m", "s", "r"),
-                    help="m=mono, s=stereo, r=stereo+RDS")
+    # both positionals are optional: the reference defaults to mode-0 mono
+    # when launched with fewer than two args (src/project.cpp:46-47)
+    ap.add_argument("mode", type=int, choices=(0, 1, 2, 3), nargs="?",
+                    default=0,
+                    help="sample-rate mode (src/project.cpp:67-108); "
+                         "default 0")
+    ap.add_argument("type", choices=("m", "s", "r"), nargs="?", default="m",
+                    help="m=mono, s=stereo, r=stereo+RDS; default m")
     ap.add_argument("--input", default="-", help="raw uint8 IQ file, -=stdin")
     ap.add_argument("--output", default="-", help="PCM out, - = stdout")
     ap.add_argument("--pll-tier", type=int, default=1, choices=(1, 2, 3),

@@ -45,7 +45,10 @@ __all__ = ["PolyFIR", "state_len", "init_state", "make_bank", "barrier"]
 # Experiment hooks: RTSDR_NO_BARRIER="tag1,tag2" (or "all") drops the
 # fusion barriers at the named sites; RTSDR_BARRIER="tag1,tag2" force-keeps
 # them, so the effect can be MEASURED per site on real hardware
-# (experiments/barrier_ab.py).
+# (experiments/barrier_ab.py). Precedence: force > drop > default-off —
+# a tag named in RTSDR_BARRIER keeps its barrier even under
+# RTSDR_NO_BARRIER=all (there is no RTSDR_BARRIER=all); unset both to get
+# the measured defaults.
 #
 # Defaults (v5e A/B, 2026-08-19 sweep, digests byte-identical throughout):
 # the FRONTEND sites ("dualphase"/"frontend") ship barrier-free — removing
@@ -61,6 +64,11 @@ _FORCE_BARRIER = frozenset(
     t.strip() for t in os.environ.get("RTSDR_BARRIER", "").split(",")
     if t.strip())
 _DEFAULT_OFF = frozenset(("dualphase", "frontend"))
+# The canonical universe of barrier tags. Experiments that force/drop sites
+# (experiments/barrier_ab.py) import this so "baseline = all barriers" stays
+# true when a new site is added.
+ALL_BARRIER_TAGS = frozenset(("pll", "polyfir", "shared", "frontend",
+                              "dualphase"))
 
 
 def barrier(x, tag: str):

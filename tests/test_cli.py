@@ -87,6 +87,16 @@ def test_cli_bad_args(station_file):
     assert r.returncode != 0
 
 
+def test_cli_defaults_to_mode0_mono(station_file):
+    # no positionals => mode-0 mono, like the reference's argc<3 default
+    # (src/project.cpp:46-47)
+    path, truth, cfg = station_file
+    r = run_cli(["--max-blocks", "3"], path)
+    assert r.returncode == 0
+    pcm = np.frombuffer(r.stdout, dtype="<i2")
+    assert len(pcm) == 3 * cfg.audio_block  # mono, mode-0 audio rate
+
+
 def test_cli_rejects_degenerate_flags():
     # validated before any jax/device work, so call main() in-process
     from real_time_sdr_tpu import cli
