@@ -190,14 +190,24 @@ class RdsPath:
              filt[:-1, filt.shape[-1] - self.rrc_fir.tail_len:]], axis=0)
         (clean,), _ = self._rrc_bank(filt, rrc_tails)
 
-        def body(carry, clean_b):
-            bit_state, track, count = carry
-            bits, n_bits, bit_state, track = self._decode_one(
-                clean_b, bit_state, track, count)
-            return (bit_state, track, count + 1), (bits, n_bits)
+        if self.timing == "comb" and self.emit_bits:
+            # batched slicer: no per-block scan (the scan version measured
+            # ~1.5 us/blk/ch of pure dispatch, experiments/stage_decompose)
+            from real_time_sdr_tpu.ops.rds_bits import decode_segment_bits
+            bits, n_bits, bit_state = decode_segment_bits(
+                clean, state.bits, state.block_count, cfg.sps,
+                cfg.max_symbols, cfg.max_bits)
+            track = state.track
+            count = state.block_count + nb
+        else:
+            def body(carry, clean_b):
+                bit_state, track, count = carry
+                bits, n_bits, bit_state, track = self._decode_one(
+                    clean_b, bit_state, track, count)
+                return (bit_state, track, count + 1), (bits, n_bits)
 
-        (bit_state, track, count), (bits, n_bits) = jax.lax.scan(
-            body, (state.bits, state.track, state.block_count), clean)
+            (bit_state, track, count), (bits, n_bits) = jax.lax.scan(
+                body, (state.bits, state.track, state.block_count), clean)
         bb_tail = mixed_blocks[-1, cfg.if_block - self.baseband_fir.tail_len:]
         rrc_tail = filt[-1, filt.shape[-1] - self.rrc_fir.tail_len:]
         new_state = RdsState(band_tail, pilot_tail, delay_tail, bb_tail,

@@ -167,6 +167,160 @@ def _symbols_to_bits(sym: jax.Array, n_sym: jax.Array, state: BitSyncState,
     return decoded, n_bits, new_state
 
 
+def _onehot_select(values: jax.Array, index: jax.Array) -> jax.Array:
+    """values[..., index] as a masked sum (..., n) x (...,) -> (...,).
+
+    TPU gathers lower to slow scalar loads; a compare+select+reduce over n
+    lanes stays on the VPU and fuses into neighbours. Exact for int and for
+    float (one nonzero addend)."""
+    n = values.shape[-1]
+    idx = jnp.arange(n, dtype=index.dtype)
+    return jnp.sum(jnp.where(idx == index[..., None], values,
+                             jnp.zeros((), values.dtype)), axis=-1)
+
+
+def decode_segment_bits(clean: jax.Array, state: BitSyncState,
+                        block_count: jax.Array, sps: int, max_symbols: int,
+                        max_bits: int, warm_after: int = 5):
+    """Batched slicer: nb blocks decoded with NO per-block scan.
+
+    Bit-identical to scanning ``decode_block_bits`` (with the reference's
+    warm-up gate, src/rds.cpp:135) over the leading axis of ``clean``
+    (nb, L) — measured on v5e the scan version cost ~1.5 us/blk/ch with a
+    ZERO modeled floor (experiments/stage_decompose.py), i.e. the whole
+    thing was per-iteration dispatch. The cross-block couplings are tiny
+    and close-form:
+
+    - the Manchester ``start`` parity chains as start_{b+1} = start_b XOR
+      (n_sym_b mod 2) -> an exclusive prefix-XOR (cumsum mod 2);
+    - ``half_symbol`` and ``last_bit`` are "most recent block that emitted
+      one" fill-forwards -> an exclusive cummax of tagged block indices;
+    - the warm-up gate freezes the carried state, and since warm blocks
+      are a SUFFIX (block counts increase), frozen blocks all see the
+      initial state and the chain anchors at the first warm block k.
+
+    GATHER-FREE on purpose: a first version used take_along_axis and
+    measured SLOWER than the scan it replaced (+1.8 vs +1.5 us/blk/ch on
+    v5e — TPU gathers serialize); every indexed read here is a reshaped
+    strided slice, a parity-pair select, or a one-hot masked sum.
+
+    clean: (nb, L) f32; state leaves are scalars (channel batching is
+    jax.vmap's job, models/receiver._check_batch). Returns
+    (bits (nb, max_bits) i32, n_bits (nb,) i32, new_state).
+    """
+    assert clean.ndim == 2, clean.shape
+    nb, L = clean.shape
+    i32 = jnp.int32
+    S = max_symbols
+    assert S * sps >= L, (S, sps, L)  # config: max_symbols = ceil(L/sps)
+
+    # --- per-block independent half: comb CDR + slice (fully batched) ----
+    offset = cdr_offset(clean, sps)                       # (nb,)
+    # symbol k of block b sits at clean[b, offset_b + k*sps]: zero-pad to a
+    # whole (S, sps) frame grid and select comb phase `offset` per block
+    padded = jnp.pad(clean, ((0, 0), (0, S * sps - L)))
+    frames = padded.reshape(nb, S, sps)
+    phase_hit = (jnp.arange(sps, dtype=i32)[None] == offset[:, None])
+    soft = jnp.sum(jnp.where(phase_hit[:, None, :], frames, 0.0), axis=-1)
+    sym = (soft > 0).astype(i32)                          # (nb, S)
+    idxS = jnp.arange(S, dtype=i32)
+    n_sym = (L - offset + sps - 1) // sps                 # == sum(pos < L)
+    sym = jnp.where(idxS[None] < n_sym[:, None], sym, 0)
+
+    # per-block alignment score (used only where the first-flag applies)
+    nxt = jnp.roll(sym, -1, axis=-1)
+    x = jnp.bitwise_xor(sym, nxt)
+    idx = jnp.arange(max_symbols, dtype=i32)[None]
+    in_range = idx < (n_sym[:, None] - 1)
+    even = (idx % 2 == 0) & in_range
+    odd = (idx % 2 == 1) & in_range
+    score = (jnp.sum(jnp.where(even, x, 0), axis=-1)
+             - jnp.sum(jnp.where(odd, x, 0), axis=-1))    # (nb,)
+
+    # --- warm-up geometry: frozen prefix [0, k), warm suffix [k, nb) ------
+    b_idx = jnp.arange(nb, dtype=i32)
+    is_warm = (block_count + b_idx) > warm_after
+    k = jnp.clip(warm_after + 1 - block_count, 0, nb)     # first warm index
+    st0 = state.start.astype(i32)
+
+    # --- start chain (exclusive prefix-XOR over warm blocks) -------------
+    par = n_sym % 2
+    cum_par = jnp.cumsum(jnp.where(is_warm, par, 0)) % 2
+    ex_par = jnp.concatenate([jnp.zeros((1,), i32), cum_par[:-1]])
+    # every frozen block AND the anchor use the initial-state formula
+    # (score only when state.first, else carried start)
+    init_start = jnp.where(state.first, (score < 0).astype(i32), st0)
+    anchor_start = _onehot_select(init_start, jnp.clip(k, 0, nb - 1))
+    start_slice = jnp.where(b_idx < k, init_start, anchor_start ^ ex_par)
+    prepend = jnp.where(b_idx <= k, st0, start_slice)
+
+    # --- half-symbol fill-forward -----------------------------------------
+    odd_tail = par ^ start_slice                          # (nb,) in {0,1}
+    last_sym = _onehot_select(sym, jnp.clip(n_sym - 1, 0, S - 1))
+    tag_h = jnp.where(is_warm & (odd_tail > 0), b_idx + 1, 0)
+    cm_h = jax.lax.cummax(tag_h)
+    ex_h = jnp.concatenate([jnp.zeros((1,), i32), cm_h[:-1]])
+    half0 = state.half_symbol.astype(i32)
+    half_enter = jnp.where(
+        ex_h > 0,
+        _onehot_select(last_sym, jnp.clip(ex_h - 1, 0, nb - 1)), half0)
+
+    # --- per-block bit counts + final bit ---------------------------------
+    n_main = jnp.maximum(n_sym - start_slice, 0) // 2
+    n_bits = n_main + prepend
+    fin_idx = start_slice + 2 * (n_bits - 1 - prepend)
+    fin_sym = _onehot_select(sym, jnp.clip(fin_idx, 0, S - 1))
+    final_bit = jnp.where((prepend > 0) & (n_bits == 1), half_enter, fin_sym)
+
+    # --- last-bit fill-forward (differential-decode seed) ------------------
+    tag_b = jnp.where(is_warm & (n_bits > 0), b_idx + 1, 0)
+    cm_b = jax.lax.cummax(tag_b)
+    ex_b = jnp.concatenate([jnp.zeros((1,), i32), cm_b[:-1]])
+    last0 = state.last_bit.astype(i32)
+    prev0 = jnp.where(
+        ex_b > 0,
+        _onehot_select(final_bit, jnp.clip(ex_b - 1, 0, nb - 1)), last0)
+    # blocks at/before the anchor see the initial first-flag semantics
+    prev0 = jnp.where(state.first & (b_idx <= k), 0, prev0)
+
+    # --- assemble bits + differential decode (batched) --------------------
+    # main_bits[b, j] = sym[b, start_b + 2j] with start in {0, 1}: the two
+    # candidates are the even/odd parity slices of sym — a select, no gather.
+    # Out-of-range reads (gather version: clipped then masked by `live`) are
+    # zero-padded here and masked by the same `live`.
+    j = jnp.arange(max_bits, dtype=i32)[None]             # (1, MB)
+    sym_p = jnp.pad(sym, ((0, 0), (0, max(2 * max_bits + 2 - S, 0))))
+    even_bits = sym_p[:, 0::2][:, :max_bits]
+    odd_bits = sym_p[:, 1::2][:, :max_bits]
+    main_bits = jnp.where(start_slice[:, None] == 0, even_bits, odd_bits)
+    # shifted[b, j] = sym[b, start_b + 2(j-1)] = main_bits rolled right one
+    # slot; its j==0 lane is never read (the half-symbol occupies it)
+    shifted = jnp.roll(main_bits, 1, axis=-1)
+    bits = jnp.where(prepend[:, None] > 0,
+                     jnp.where(j == 0, half_enter[:, None], shifted),
+                     main_bits)
+    live = j < n_bits[:, None]
+    bits = jnp.where(live, bits, 0)
+    prev = jnp.roll(bits, 1, axis=-1)
+    prev = prev.at[:, 0].set(prev0)
+    decoded = jnp.where(live, jnp.bitwise_xor(bits, prev), 0)
+    n_out = jnp.where(is_warm, n_bits, 0)
+
+    # --- exit state (identical to the held-during-warm-up scan) -----------
+    any_warm = is_warm[-1]  # warm blocks are a suffix
+    new_first = jnp.logical_and(state.first, jnp.logical_not(any_warm))
+    new_start = jnp.where(any_warm, odd_tail[-1], st0)
+    half_exit = jnp.where(odd_tail[-1] > 0, last_sym[-1], half_enter[-1])
+    new_half = jnp.where(any_warm, half_exit, half0)
+    new_last = jnp.where(cm_b[-1] > 0,
+                         _onehot_select(final_bit,
+                                        jnp.clip(cm_b[-1] - 1, 0, nb - 1)),
+                         last0)
+    new_state = BitSyncState(first=new_first, start=new_start,
+                             half_symbol=new_half, last_bit=new_last)
+    return decoded, n_out, new_state
+
+
 class TimingTrack(NamedTuple):
     """Tracking-CDR carry: symbol-clock phase and rate across blocks.
 
