@@ -20,10 +20,10 @@ Geometry (per grid step = one tile of ``tf`` frames):
 
 ``stride`` is a multiple of 128 for every mode (g*2*down with even 2*down),
 so all window slices are lane-aligned. The uint8->float normalization
-(x-128)/128 (src/rffrontend.cpp:60) costs nothing: the bytes are XOR'd with
-0x80 on the host (u8 ^ 0x80 reinterpreted as int8 IS x-128 in two's
-complement — XLA fuses the xor into the layout pass), the /128 folds into
-the weights, and int8 values are exact in bfloat16.
+(x-128)/128 (src/rffrontend.cpp:60) costs nothing: the staging keeps raw
+bytes (one concat+pad copy, then a FREE u8->i8 bitcast reinterpret), the
+kernel applies ``v ^ 0x80 == x - 128`` as one vector int8 xor, the /128
+folds into the weights, and int8 values are exact in bfloat16.
 
 The demodulator needs each output's predecessor. In-frame predecessors are
 a lane shift; across frames within a tile, the previous frame's last
@@ -58,14 +58,22 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(a_ref, b_ref, whi_ref, wlo_ref, pi_ref, pq_ref, o_ref, *,
             tf, g, stride, jp, s_over):
-    a = a_ref[:]                      # (tf, stride) int8
-    b = b_ref[:]                      # (32, stride) int8 — next rows
+    a = a_ref[:]                      # (tf, stride) int8 = raw bytes,
+    b = b_ref[:]                      # (32, stride)   bit-reinterpreted
     parts = [a]
     for s in range(1, s_over):
         rows_s = jnp.concatenate([a[s:], b[:s]], axis=0)
         take = min(stride, jp - s * stride)
         parts.append(rows_s[:, :take])
-    frames = jnp.concatenate(parts, axis=-1).astype(jnp.bfloat16)
+    # Normalize IN-KERNEL: the operand is the raw byte x reinterpreted as
+    # int8, and (x ^ 0x80) as int8 == x - 128 in two's complement — one
+    # vector xor, then an exact int8->bf16 cast. Doing it here instead of
+    # the old host-side xor+bitcast+pad staging chain removes two full HBM
+    # passes over the raw stream (measured ~240 us/run at 32ch x 12blk —
+    # the staging copies cost more than the matmuls). Mosaic cannot cast
+    # uint8 (and v5e rejects bf16 compares), hence the int8 xor trick.
+    v = jnp.concatenate(parts, axis=-1)
+    frames = (v ^ jnp.int8(-128)).astype(jnp.bfloat16)
     y = (jnp.dot(frames, whi_ref[:], preferred_element_type=jnp.float32)
          + jnp.dot(frames, wlo_ref[:], preferred_element_type=jnp.float32))
     i_sig, q_sig = y[:, :g], y[:, g:2 * g]
@@ -172,10 +180,11 @@ class FusedFrontendFIR:
     def _boundary_sample(self, xf: jax.Array, m: int):
         """Decimated (I[m], Q[m]) via a tiny dot over the m-th byte window.
 
-        xf: (..., padded L) int8 tail-prefixed stream."""
+        xf: (..., padded L) uint8 tail-prefixed stream."""
         base = 2 * m * self.down
-        win = jax.lax.slice_in_dim(xf, base, base + 2 * self.num_taps,
-                                   axis=-1).astype(jnp.float32)
+        w = jax.lax.slice_in_dim(xf, base, base + 2 * self.num_taps,
+                                 axis=-1).astype(jnp.float32)
+        win = jnp.where(w >= 0, w - 128.0, w + 128.0)  # see _kernel note
         return jnp.einsum("...j,jr->...r", win, jnp.asarray(self._v),
                           precision=jax.lax.Precision.HIGHEST)
 
@@ -190,10 +199,16 @@ class FusedFrontendFIR:
         xx = jnp.concatenate([tail_u8, s_u8], axis=-1)
         xx = barrier(xx, "frontend")  # tagged: RTSDR_NO_BARRIER A/B-able
         new_tail = xx[..., xx.shape[-1] - self.tail_len:]
-        # u8 ^ 0x80 reinterpreted as int8 == x - 128; int8 0 == "no signal"
-        xi = jax.lax.bitcast_convert_type(xx ^ jnp.uint8(0x80), jnp.int8)
-        pad = rows_total * self.stride - xi.shape[-1]
-        xf = jnp.pad(xi, [(0, 0)] * (xi.ndim - 1) + [(0, pad)])
+        # staging stays RAW BYTES — concat, then pad(byte 128 == int8 -128
+        # == "no signal"), then a FREE u8->i8 bitcast reinterpret (no xor —
+        # the (x-128)/128 normalization happens in-kernel). The old chain
+        # (concat, xor+bitcast pass, pad pass) cost one more full HBM pass
+        # over the raw stream; a single 3-operand concat variant was also
+        # measured and lowered to a slower dynamic-update-slice.
+        pad = rows_total * self.stride - xx.shape[-1]
+        xf = jnp.pad(xx, [(0, 0)] * (xx.ndim - 1) + [(0, pad)],
+                     constant_values=jnp.uint8(128))
+        xf = jax.lax.bitcast_convert_type(xf, jnp.int8)
         rows = xf.reshape(xf.shape[:-1] + (rows_total, self.stride))
 
         # only each TILE's first frame needs an external predecessor (the
@@ -206,8 +221,8 @@ class FusedFrontendFIR:
         if nbf > 1:
             m_bnd = (np.arange(1, nbf) * tf * self.g - 1)
             idx = (2 * m_bnd * self.down)[:, None] + np.arange(k2)[None, :]
-            wins = jnp.take(xf, jnp.asarray(idx), axis=-1).astype(
-                jnp.float32)
+            w = jnp.take(xf, jnp.asarray(idx), axis=-1).astype(jnp.float32)
+            wins = jnp.where(w >= 0, w - 128.0, w + 128.0)
             bnd = jnp.einsum("...fj,jr->...fr", wins, jnp.asarray(self._v),
                              precision=jax.lax.Precision.HIGHEST)
             first = jnp.stack([prev_i, prev_q], axis=-1)[..., None, :]

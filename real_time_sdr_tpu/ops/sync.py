@@ -36,6 +36,7 @@ import numpy as np
 
 from real_time_sdr_tpu.ops.fir import PolyFIR, make_bank
 from real_time_sdr_tpu.ops.pll import PllParams
+from real_time_sdr_tpu.ops.prefix import prefix_sum
 
 __all__ = ["FeedforwardSync", "FFSyncCarry"]
 
@@ -138,7 +139,10 @@ class FeedforwardSync:
         prev = jnp.concatenate([_wrap_pi(carry.resid)[..., None],
                                 resid_w[..., :-1]], axis=-1)
         d = _wrap_pi(resid_w - prev)
-        resid_u = carry.resid[..., None] + jnp.cumsum(d, axis=-1)
+        # unwrap: inclusive prefix sum of the wrapped deltas — via MXU
+        # matmuls, NOT jnp.cumsum (whose reduce_window lowering was the
+        # most expensive kernel in the whole receiver graph; ops/prefix.py)
+        resid_u = carry.resid[..., None] + prefix_sum(d)
 
         # Consumer-visible phase: the locked reference loop's carrier sits at
         # the current sample's pilot phase (measured against ground truth),
