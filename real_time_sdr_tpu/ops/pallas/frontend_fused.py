@@ -219,9 +219,16 @@ class FusedFrontendFIR:
         # uses the carried (prev_i, prev_q) state
         k2 = 2 * self.num_taps
         if nbf > 1:
+            # STATIC slices, not a gather: jnp.take with per-channel-equal
+            # indices made XLA's layout assignment flip the whole staging
+            # chain to a channel-minor layout (three transposing copies of
+            # the 40+ MB stream on mode 1 — measured). nbf-1 tiny slices
+            # stack gather-free.
             m_bnd = (np.arange(1, nbf) * tf * self.g - 1)
-            idx = (2 * m_bnd * self.down)[:, None] + np.arange(k2)[None, :]
-            w = jnp.take(xf, jnp.asarray(idx), axis=-1).astype(jnp.float32)
+            offs = 2 * m_bnd * self.down
+            w = jnp.stack(
+                [jax.lax.slice_in_dim(xf, int(o), int(o) + k2, axis=-1)
+                 for o in offs], axis=-2).astype(jnp.float32)
             wins = jnp.where(w >= 0, w - 128.0, w + 128.0)
             bnd = jnp.einsum("...fj,jr->...fr", wins, jnp.asarray(self._v),
                              precision=jax.lax.Precision.HIGHEST)

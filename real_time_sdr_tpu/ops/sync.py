@@ -111,6 +111,22 @@ class FeedforwardSync:
             trig=jnp.zeros(batch, jnp.int32),
             resid=jnp.zeros(batch, jnp.float32))
 
+    @staticmethod
+    def _rolled_table(table: jax.Array, start: jax.Array, n: int):
+        """table[(start + j) % period] for j in [0, n) — the nominal carrier
+        ramp is integer-periodic (period = 2*fs/gcd, <= ~720), so per-sample
+        trig/angle sequences are a PERIOD-sized static table cycled from a
+        carried phase: one dynamic_slice of a doubled table + tile + slice,
+        all fusible — no length-n transcendental evaluation, no gather.
+        Values are bit-identical to evaluating at every sample (the table
+        holds the exact f32 per-phase values)."""
+        per = table.shape[-1]
+        doubled = jnp.concatenate([table, table], axis=-1)
+        rolled = jax.lax.dynamic_slice_in_dim(
+            doubled, start % per, per, axis=-1)
+        reps = -(-n // per)
+        return jnp.tile(rolled, reps)[..., :n]
+
     def __call__(self, x: jax.Array, carry: FFSyncCarry, p: PllParams = None):
         p = p or self.p
         n = x.shape[-1]
@@ -118,22 +134,28 @@ class FeedforwardSync:
         (q_sig,), in_tail = self._q_bank(x, carry.in_tail)
 
         # Rotate the analytic signal down by the exact nominal ramp evaluated
-        # at the sample it currently describes: t = trig + k - m.
-        ks = jnp.arange(1, n + 1, dtype=jnp.int32)
+        # at the sample it currently describes: t = trig + k - m. cos/sin of
+        # the ramp come from static period-length tables cycled by the
+        # carried phase (bit-identical values, _rolled_table) — the old
+        # per-sample cos+sin evaluation was half of the most expensive
+        # elementwise fusion in the whole receiver graph.
         d_total = self.group_delay
-        ramp_est = p.trig_angle(
-            (carry.trig + ks - self.hilbert_delay) % p.period + p.period)
-        ce, se = jnp.cos(ramp_est), jnp.sin(ramp_est)
+        angle_tbl = p.trig_angle(jnp.arange(p.period, dtype=jnp.int32))
+        ce = self._rolled_table(jnp.cos(angle_tbl),
+                                carry.trig + 1 - self.hilbert_delay, n)
+        se = self._rolled_table(jnp.sin(angle_tbl),
+                                carry.trig + 1 - self.hilbert_delay, n)
         zr = i_sig * ce + q_sig * se
         zi = q_sig * ce - i_sig * se
 
-        # one batched smoothing pass for both rails (same taps, stacked
-        # inputs -> frames built once, one matmul)
-        zs = jnp.stack([zr, zi], axis=-2)
-        tails = jnp.stack([carry.sm_i_tail, carry.sm_q_tail], axis=-2)
-        (ys,), new_tails = self._sm_bank(zs, tails)
-        zr, zi = ys[..., 0, :], ys[..., 1, :]
-        sm_i_tail, sm_q_tail = new_tails[..., 0, :], new_tails[..., 1, :]
+        # two separate 2-D smoothing passes — NOT a stacked (..., 2, n) rail
+        # batch: the stacked form's 3-D frame matrices picked transposing
+        # layouts ({3,2,0,1} reshapes + pads, ~0.45 ms/run at mode 1,
+        # 32ch x 12blk) while two half-size matmuls cost the same MXU time
+        # with clean 2-D layouts (same lesson as CLAUDE.md's stacked-3-D
+        # dead end, just milder)
+        (zr,), sm_i_tail = self._sm_bank(zr, carry.sm_i_tail)
+        (zi,), sm_q_tail = self._sm_bank(zi, carry.sm_q_tail)
 
         resid_w = jnp.arctan2(zi, zr)
         prev = jnp.concatenate([_wrap_pi(carry.resid)[..., None],
@@ -154,7 +176,7 @@ class FeedforwardSync:
         # this keeps warm-up blocks (parallel.time_shard halos) convergent
         # and is the fresher estimate in steady state too.
         mu = jnp.mean(d[..., d.shape[-1] // 2:], axis=-1, keepdims=True)
-        ramp_out = p.trig_angle((carry.trig + ks) % p.period)
+        ramp_out = self._rolled_table(angle_tbl, carry.trig + 1, n)
         phase = ramp_out + resid_u + d_total * mu
         carrier = jnp.cos(p.nco_scale * phase + p.phase_adjust)
 
