@@ -194,6 +194,118 @@ def _build_exact_pipeline(rx: Receiver, mesh: Mesh, axis: str,
     return pipeline
 
 
+def time_sharded_run_bank(rx: Receiver, mesh: Mesh, blocks: jax.Array,
+                          ch_axis: str = "ch", time_axis: str = "time",
+                          overlap: int = 1):
+    """JOINT channel x time sharding on a 2-D mesh (exact mode, tier 3).
+
+    blocks: (C, B, 2*block_size_iq) uint8 — C independent stations, each a
+    B-block stream. Channels shard over ``ch_axis`` (zero coupling), each
+    channel's block stream shards over ``time_axis`` with the same
+    ppermute-halo + phase-parity sign chain as :func:`time_sharded_run`;
+    the halo exchange rides the time axis of the SAME mesh, so a (ch, time)
+    pod runs C*B blocks with every device busy. RDS bits are BIT-IDENTICAL
+    to the per-channel sequential receiver; audio is float-exact to
+    reduction order (same guarantees as the 1-D exact mode, proven in
+    tests/test_parallel.py::test_joint_channel_time_sharding).
+    """
+    if not _all_feedforward(rx):
+        raise ValueError("joint channel x time sharding is exact-mode only: "
+                         "build the receiver with pll_tier=3")
+    c_sh = mesh.shape[ch_axis]
+    t = mesh.shape[time_axis]
+    C, B = blocks.shape[0], blocks.shape[1]
+    assert C % c_sh == 0, f"channels {C} not divisible by {c_sh}"
+    assert B % t == 0, f"blocks {B} not divisible by time shards {t}"
+
+    cache = rx.__dict__.setdefault("_time_shard_cache", {})
+    key = ("bank", mesh, ch_axis, time_axis, overlap, blocks.shape,
+           str(blocks.dtype))
+    fn = cache.get(key)
+    if fn is None:
+        fn = _build_exact_bank_pipeline(rx, mesh, ch_axis, time_axis,
+                                        overlap, t)
+        cache[key] = fn
+    return fn(blocks)
+
+
+def _build_exact_bank_pipeline(rx: Receiver, mesh: Mesh, ch_axis: str,
+                               time_axis: str, overlap: int, t: int):
+    """(C, B, blk) twin of _build_exact_pipeline: vmap over local channels
+    inside a 2-D shard_map; the sign chain and global decode run per
+    channel."""
+    if rx.rds_path is not None:
+        dsp_rx = Receiver(rx.cfg, stereo=rx.stereo, rds=True, pll_tier=3,
+                          rds_timing=rx.rds_path.timing,
+                          frontend_impl=rx.frontend.impl)
+        dsp_rx.rds_path.emit_bits = False
+    else:
+        dsp_rx = rx
+    perm = [(i, (i + 1) % t) for i in range(t)]
+
+    def level(st):
+        if dsp_rx.rds_path is None:
+            return jnp.float32(0.0)
+        p = dsp_rx.rds_path.pll_params
+        c = st.rds.pll
+        return jnp.mod(p.trig_angle(c.trig) + c.resid, 2.0 * _TWO_PI)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=P(ch_axis, time_axis),
+        out_specs=(P(ch_axis, time_axis), P(ch_axis, time_axis)),
+        check_vma=False)
+    def run_dsp(local):                       # (Cl, Bl, blk)
+        halo = jax.lax.ppermute(local[:, -overlap:], time_axis, perm=perm)
+        my_t = jax.lax.axis_index(time_axis)
+
+        def one_channel(blocks_ch, halo_ch):
+            init = dsp_rx.init_state()
+            warm, _ = dsp_rx.run_blocks(init, halo_ch)
+            state0 = jax.tree_util.tree_map(
+                lambda a, b_: jnp.where(my_t == 0, a, b_), init, warm)
+            final, outs = dsp_rx.run_blocks(state0, blocks_ch)
+            levels = jnp.stack([level(state0), level(final)])  # (2,)
+            return outs, levels
+
+        outs, levels = jax.vmap(one_channel)(local, halo)
+        return outs, levels[:, None]          # (Cl, 1, 2) -> global (C, t, 2)
+
+    rds = rx.rds_path
+
+    def decode(clean_blocks):                 # (B, rds_block) one channel
+        def body(carry, clean_b):
+            bit_state, track, count = carry
+            bits, n_bits, bit_state, track = rds._decode_one(
+                clean_b, bit_state, track, count)
+            return (bit_state, track, count + 1), (bits, n_bits)
+
+        track0 = timing_init() if rds.timing == "tracked" else None
+        carry0 = (bit_sync_init(), track0, jnp.zeros((), jnp.int32))
+        _, (bits, n_bits) = jax.lax.scan(body, carry0, clean_blocks)
+        return bits, n_bits
+
+    @jax.jit
+    def pipeline(blocks):
+        outs, levels = run_dsp(blocks)
+        if rds is None:
+            return outs
+        starts = levels[:, 1:, 0]             # (C, t-1)
+        ends = levels[:, :-1, 1]
+        m = jnp.round((starts - ends) / _TWO_PI).astype(jnp.int32)
+        parity = jnp.concatenate(
+            [jnp.zeros((m.shape[0], 1), jnp.int32),
+             jnp.cumsum(m, axis=1) % 2], axis=1)
+        sign = jnp.where(parity == 0, 1.0, -1.0).astype(jnp.float32)
+        nb_local = blocks.shape[1] // t
+        sign_blocks = jnp.repeat(sign, nb_local, axis=1)   # (C, B)
+        clean = outs.rds_clean * sign_blocks[..., None]
+        bits, n_bits = jax.vmap(decode)(clean)
+        return outs._replace(rds_bits=bits, rds_nbits=n_bits,
+                             rds_clean=clean)
+
+    return pipeline
+
+
 def _approx_run(rx: Receiver, mesh: Mesh, blocks: jax.Array, axis: str,
                 overlap: int, t: int):
     """Warm-up re-acquisition sharding for tier-1/2 (loop PLL) receivers."""

@@ -14,6 +14,8 @@ import subprocess
 import sys
 import textwrap
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _WORKER = textwrap.dedent("""
@@ -79,6 +81,87 @@ def test_two_process_channel_bank(tmp_path):
         subprocess.Popen(
             [sys.executable, "-c", _WORKER, str(port), str(pid),
              str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            cwd=REPO)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out.decode(), err.decode()))
+    for pid, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"worker {pid} rc={rc}\n{err[-2000:]}"
+        assert f"WORKER_OK {pid}" in out
+
+
+_WORKER_TIME = textwrap.dedent("""
+    import sys
+    port, pid = sys.argv[1], int(sys.argv[2])
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    import numpy as np
+    from jax.sharding import Mesh
+    from real_time_sdr_tpu.models.receiver import Receiver
+    from real_time_sdr_tpu.parallel import distributed as D
+    from real_time_sdr_tpu.parallel.time_shard import time_sharded_run
+    from real_time_sdr_tpu.utils import synth
+
+    D.initialize(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+    assert len(jax.devices()) == 4
+    mesh = Mesh(np.array(jax.devices()), ("time",))
+
+    rx = Receiver(0, stereo=True, rds=True, pll_tier=3)
+    B = 8
+    iq, _ = synth.station_iq(rx.cfg, B, ps_name="2PROC-TS")
+    blocks = np.asarray(iq).reshape(B, -1)
+    # each process feeds only ITS half of the timeline; the exact-mode
+    # ppermute halo then crosses the process boundary over DCN
+    sl = D.host_channel_slice(B)
+    garr = D.make_global_channel_array(mesh, blocks[sl], axis="time")
+    outs = time_sharded_run(rx, mesh, garr, overlap=1)
+
+    _, seq = rx.jit_run_blocks(rx.init_state(), jax.device_put(blocks))
+    ref_bits = np.asarray(seq.rds_bits)
+    ref_n = np.asarray(seq.rds_nbits)
+    ref_left = np.asarray(seq.left)
+    for shard in outs.left.addressable_shards:
+        b0 = shard.index[0].start or 0
+        got = np.asarray(shard.data)
+        for j in range(got.shape[0]):
+            ref = ref_left[b0 + j]
+            snr = 10 * np.log10(np.mean(ref ** 2) /
+                                (np.mean((ref - got[j]) ** 2) + 1e-30))
+            assert snr > 100, f"block {b0+j}: {snr:.1f} dB"
+    for shard in outs.rds_bits.addressable_shards:
+        b0 = shard.index[0].start or 0
+        got = np.asarray(shard.data)
+        assert (got == ref_bits[b0:b0 + got.shape[0]]).all()
+    for shard in outs.rds_nbits.addressable_shards:
+        b0 = shard.index[0].start or 0
+        got = np.asarray(shard.data)
+        assert (got == ref_n[b0:b0 + got.shape[0]]).all()
+    print(f"WORKER_OK {pid}", flush=True)
+""")
+
+
+@pytest.mark.slow
+def test_two_process_time_sharding(tmp_path):
+    """Exact time sharding with the ppermute halo ring crossing a PROCESS
+    boundary (2 procs x 2 devices); RDS bit-identical per addressable
+    shard (VERDICT r2 #4)."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER_TIME, str(port), str(pid)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
             cwd=REPO)
         for pid in range(2)
