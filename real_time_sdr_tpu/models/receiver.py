@@ -154,10 +154,14 @@ class Receiver:
         whole segment — amortizing per-op dispatch across B blocks — while
         the narrowband RDS tail keeps exact per-block semantics internally.
         Audio comes back as (..., B*audio_block); RDS bits as
-        (..., B, max_bits). Numerically equivalent to run_blocks for
-        integer-ratio audio modes (0/1); fractional modes (2/3) resample the
-        segment uniformly instead of replicating the reference's per-block
-        output-count truncation stutter.
+        (..., B, max_bits). Numerically equivalent to run_blocks in EVERY
+        mode: integer-ratio modes (0/1) trivially, and the fractional modes
+        (2/3) because the reference's own block geometry makes the per-block
+        resampler output count an exact integer (if_block*up % down == 0),
+        so uniform segment resampling and the reference's per-block
+        truncation (src/filter.cpp:124) coincide — pinned by
+        tests/test_segment_mode.py::test_segment_equals_blocks_fractional
+        (>110 dB audio, bit-identical RDS).
         """
         return self.step(state, iq_segment)
 
