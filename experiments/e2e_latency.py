@@ -1,0 +1,124 @@
+"""End-to-end latency through the native I/O path on real hardware
+(VERDICT r2 #6).
+
+Drives `python -m real_time_sdr_tpu.cli` as a SUBPROCESS through real
+pipes — raw uint8 IQ paced at the live-capture rate into stdin, PCM
+drained from stdout — and reports the CLI's own --stats p50/p99
+ingest->PCM block latency. A second run throttles the sink (reads PCM
+slower than real time) with --drop-oldest and asserts the overload path
+actually sheds input blocks instead of backpressuring the source.
+
+Usage: python experiments/e2e_latency.py [--blocks 40] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _spawn(extra, env):
+    return subprocess.Popen(
+        [sys.executable, "-m", "real_time_sdr_tpu.cli", "0", "r",
+         "--warmup", "--stats", *extra],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, env=env, cwd=REPO)
+
+
+def _feed(proc, iq_bytes, block_bytes, budget_s, n_blocks, paced=True):
+    """Write blocks at the real-time cadence (a live SDR source)."""
+    try:
+        t0 = time.perf_counter()
+        for b in range(n_blocks):
+            if paced:
+                target = t0 + b * budget_s
+                dt = target - time.perf_counter()
+                if dt > 0:
+                    time.sleep(dt)
+            off = (b * block_bytes) % (len(iq_bytes) - block_bytes)
+            proc.stdin.write(iq_bytes[off:off + block_bytes])
+            proc.stdin.flush()
+        proc.stdin.close()
+    except BrokenPipeError:
+        pass
+
+
+def _drain(proc, per_read_sleep=0.0, chunk=1 << 16):
+    while True:
+        buf = proc.stdout.read(chunk)
+        if not buf:
+            return
+        if per_read_sleep:
+            time.sleep(per_read_sleep)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--blocks", type=int, default=40)
+    ap.add_argument("--pipeline", type=int, default=2)
+    ap.add_argument("--segment", type=int, default=6)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from real_time_sdr_tpu.config import mode_config
+    from real_time_sdr_tpu.utils import synth
+
+    cfg = mode_config(0)
+    block_bytes = 2 * cfg.block_size_iq
+    budget = cfg.block_size_iq / cfg.rf_fs
+    iq, _ = synth.station_iq(cfg, 8, ps_name="LATENCY ")
+    iq_bytes = np.asarray(iq, np.uint8).tobytes()
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    extra_cpu = ["--cpu"] if args.cpu else []
+
+    # --- run 1: real-time-paced source, fast sink -> p50/p99 latency ------
+    p = _spawn(["--pipeline", str(args.pipeline),
+                "--segment", str(args.segment),
+                "--max-blocks", str(args.blocks), *extra_cpu], env)
+    th = threading.Thread(target=_drain, args=(p,), daemon=True)
+    th.start()
+    _feed(p, iq_bytes, block_bytes, budget, args.blocks + 4)
+    err = p.stderr.read().decode()
+    p.wait(timeout=600)
+    th.join(timeout=10)
+    for line in err.splitlines():
+        if line.startswith(("block latency", "total:", "warmed")):
+            print(line, flush=True)
+    assert "block latency" in err, err[-2000:]
+
+    # --- run 2: slow sink + --drop-oldest -> overload sheds input ---------
+    # sink sleeps ~3x real time per PCM block; with depth-4 drop-oldest the
+    # reader must report dropped blocks rather than stall the paced source
+    pcm_block = 2 * cfg.audio_block * 2
+    p = _spawn(["--pipeline", "1", "--drop-oldest", "--io-depth", "2",
+                "--max-blocks", str(args.blocks), *extra_cpu], env)
+    th = threading.Thread(
+        target=_drain, args=(p, 3.0 * budget, pcm_block), daemon=True)
+    th.start()
+    _feed(p, iq_bytes, block_bytes, budget, args.blocks + 4)
+    err = p.stderr.read().decode()
+    p.wait(timeout=600)
+    th.join(timeout=10)
+    dropped = [ln for ln in err.splitlines() if ln.startswith("dropped")]
+    lat = [ln for ln in err.splitlines() if ln.startswith("block latency")]
+    print((dropped + ["dropped: none reported"])[0], flush=True)
+    if lat:
+        print("overload " + lat[0], flush=True)
+    assert dropped, "slow sink + --drop-oldest reported no drops:\n" + \
+        err[-2000:]
+
+
+if __name__ == "__main__":
+    main()

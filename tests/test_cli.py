@@ -215,3 +215,29 @@ def test_cli_survives_pure_noise(tmp_path):
     assert r.returncode == 0
     assert len(np.fromfile(tmp_path / "n.pcm", "<i2")) == (
         nb * cfg.audio_block * 2)
+
+
+def test_cli_segment_serving_identical(station_file):
+    # --segment G (one device call per G blocks, the remote-attachment
+    # serving shape): same stream semantics as per-block calls. Audio
+    # agrees to int16 rounding (the tier-1 PLL wraps phase mod 4*pi at
+    # call rather than block boundaries — the f32-reduction-order
+    # difference test_segment_mode pins at library level); RDS text is
+    # identical.
+    path, truth, cfg = station_file
+    r1 = run_cli(["0", "r", "--max-blocks", "12"], path)
+    rg = run_cli(["0", "r", "--segment", "4", "--max-blocks", "12"], path)
+    assert r1.returncode == 0 and rg.returncode == 0
+    a = np.frombuffer(r1.stdout, dtype="<i2").astype(np.int32)
+    b = np.frombuffer(rg.stdout, dtype="<i2").astype(np.int32)
+    assert len(b) == 12 * cfg.audio_block * 2  # stereo interleaved samples
+    assert a.shape == b.shape
+    assert np.abs(a - b).max() <= 2, np.abs(a - b).max()
+
+    def rds_lines(r):
+        return [ln for ln in r.stderr.decode().splitlines()
+                if ln.startswith(("PI:", "PTY:", "Program Service:",
+                                  "RadioText:", "RDS summary:"))]
+
+    assert rds_lines(rg) == rds_lines(r1)  # identical decode trail
+    assert rds_lines(rg), "no RDS events decoded in either mode"
