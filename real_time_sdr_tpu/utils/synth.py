@@ -381,8 +381,10 @@ def wideband_iq(cfg: ReceiverConfig, wide_fs: int, stations: list[dict],
                 n_blocks: int) -> tuple[np.ndarray, np.ndarray, list[dict]]:
     """Multi-station wideband capture for the channelizer.
 
-    Each stations[k] dict may carry offset_hz (required), ps_name, pi, pty,
-    tone_left, tone_right. Returns (i_wide, q_wide float32 at wide_fs,
+    Each stations[k] dict may carry offset_hz (required), an ``amp``
+    linear power scale (default 1.0 — e.g. amp=10 is a +20 dB adjacent-
+    channel interferer), plus any station_iq kwargs (ps_name, pi, pty,
+    tone_left, tone_right). Returns (i_wide, q_wide float32 at wide_fs,
     truths). Stations are synthesized at cfg.rf_fs, upsampled to wide_fs,
     and frequency-shifted to their offsets.
     """
@@ -391,8 +393,9 @@ def wideband_iq(cfg: ReceiverConfig, wide_fs: int, stations: list[dict],
     n_wide = cfg.block_size_iq * n_blocks * up
     acc = np.zeros(n_wide, dtype=np.complex128)
     truths = []
+    total_amp = sum(float(st.get("amp", 1.0)) for st in stations)
     for st in stations:
-        kw = {k: v for k, v in st.items() if k != "offset_hz"}
+        kw = {k: v for k, v in st.items() if k not in ("offset_hz", "amp")}
         iq_u8, truth = station_iq(cfg, n_blocks, **kw)
         truth["offset_hz"] = st["offset_hz"]
         truths.append(truth)
@@ -400,7 +403,8 @@ def wideband_iq(cfg: ReceiverConfig, wide_fs: int, stations: list[dict],
              + 1j * (iq_u8[1::2].astype(np.float64) - 128.0)) / 128.0
         zw = sp_signal.resample_poly(z, up, 1)[:n_wide]
         t = np.arange(len(zw)) / wide_fs
-        acc[:len(zw)] += zw * np.exp(2j * np.pi * st["offset_hz"] * t)
-    acc /= max(1, len(stations))
+        acc[:len(zw)] += (float(st.get("amp", 1.0)) * zw
+                          * np.exp(2j * np.pi * st["offset_hz"] * t))
+    acc /= max(1.0, total_amp)
     return (acc.real.astype(np.float32), acc.imag.astype(np.float32),
             truths)

@@ -45,6 +45,11 @@ def main(argv=None) -> int:
                          "time to decode")
     ap.add_argument("--sigmas", default="0,0.02,0.05,0.08,0.12,0.16,0.22,0.3",
                     help="comma-separated AWGN sigma sweep for --ber")
+    ap.add_argument("--impair", choices=("none", "multipath"),
+                    default="none",
+                    help="--ber channel: 'multipath' adds a 2-ray "
+                         "time-varying (1 Hz doppler beat) echo channel on "
+                         "top of each AWGN point")
     args = ap.parse_args(argv)
 
     # must precede the first `import jax` — the default cache dir is captured
@@ -174,105 +179,10 @@ def main(argv=None) -> int:
 
 
 def _ber_curve(cfg, args) -> int:
-    """Sweep AWGN sigma -> post-differential BER + PS decode survival.
-
-    The radio-performance record SURVEY section 7 asks for alongside
-    throughput: how much channel noise the RDS chain tolerates. One
-    receiver (one compile) reused across the sweep; BER measured against
-    the transmitted bit stream the synthesizer reports.
-    """
-    import numpy as np
-    import jax.numpy as jnp
-
-    from real_time_sdr_tpu.models.receiver import Receiver
-    from real_time_sdr_tpu.models.rds_framing import RdsFramer
-    from real_time_sdr_tpu.utils.synth import station_iq
-
-    nb = args.blocks
-    rx = Receiver(cfg, stereo=True, rds=True, pll_tier=1)
-    sigmas = [float(s) for s in args.sigmas.split(",") if s.strip()]
-    rows = []
-    for sigma in sigmas:
-        iq, truth = station_iq(cfg, nb, ps_name="BER-SWP ", pi=0x7A7A,
-                               pty=6, noise_std=sigma)
-        # same segment shape every sigma -> one compile, reused
-        _, out = rx.jit_step(rx.init_state(), jnp.asarray(iq))
-        nbits = np.asarray(out.rds_nbits)
-        bits = np.asarray(out.rds_bits)
-        # steady-state BER: skip the acquisition/settle blocks so the curve
-        # reflects channel noise, not the PLL transient
-        settle = min(8, nb // 3)
-        got = "".join(str(b) for k in range(settle, nb) if nbits[k] > 0
-                      for b in bits[k][:nbits[k]])
-        if got:
-            # repeat the transmitted groups far enough that the reference
-            # always covers the decoded stream at every search offset
-            # (a short fixed repetition would let zip() truncate silently
-            # and deflate the BER)
-            period = len(truth["bits"])
-            reps = (len(got) + 2 * period) // period + 2
-            ref = "".join(map(str, truth["bits"] * reps))
-            best = min(sum(a != b
-                           for a, b in zip(got, ref[off:off + len(got)]))
-                       for off in range(2 * period))
-            ber = best / len(got)
-        else:
-            ber = float("nan")  # synchronizer never produced bits
-        # group survival with and without Meggitt burst correction, over
-        # the same decoded bits (the correction's radio-level payoff)
-        framer = RdsFramer()
-        plain = RdsFramer(correct_bursts=0)
-        for k in range(nb):
-            if nbits[k] > 0:
-                framer.feed(bits[k][:nbits[k]])
-                plain.feed(bits[k][:nbits[k]])
-        ok = framer.events.ps_name == "BER-SWP "
-        rows.append((sigma, ber, ok, len(got),
-                     framer.events.groups_decoded,
-                     plain.events.groups_decoded,
-                     framer.events.blocks_corrected))
-        print(f"sigma={sigma:.2f}  BER={ber:.2e}  bits={len(got)}  "
-              f"PS decoded={ok}  groups {framer.events.groups_decoded} "
-              f"(corrected-on, {framer.events.blocks_corrected} blocks "
-              f"repaired) vs {plain.events.groups_decoded} (off)",
-              file=sys.stderr)
-
-    os.makedirs(args.out, exist_ok=True)
-    path = os.path.join(args.out, "ber_curve.png")
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-    fig, (ax, axg) = plt.subplots(2, 1, figsize=(7, 6.4), sharex=True,
-                                  height_ratios=[3, 2])
-    valid = [r for r in rows if r[1] == r[1]]  # NaN = no bits, not plotted
-    xs = [r[0] for r in valid]
-    ys = [max(r[1], 1e-5) for r in valid]
-    ax.semilogy(xs, ys, "o-", color="#000088")
-    for x, y, ok in zip(xs, ys, [r[2] for r in valid]):
-        ax.annotate("PS" if ok else "x", (x, y), textcoords="offset points",
-                    xytext=(0, 8), ha="center",
-                    color="#008800" if ok else "#aa0000", fontsize=9)
-    for r in rows:
-        if r[1] != r[1]:
-            ax.axvline(r[0], color="#aa0000", ls=":", alpha=0.5)
-            axg.axvline(r[0], color="#aa0000", ls=":", alpha=0.5)
-    ax.set_ylabel("post-differential BER")
-    ax.set_title(f"RDS BER vs channel noise (mode {cfg.mode}, {nb} blocks; "
-                 f"green PS = Program Service decoded)")
-    ax.grid(which="both", alpha=0.4)
-    axg.plot(xs, [r[4] for r in valid], "o-", color="#008800",
-             label="groups decoded (burst correction on)")
-    axg.plot(xs, [r[5] for r in valid], "s--", color="#888888",
-             label="groups decoded (correction off)")
-    axg.set_xlabel("AWGN sigma on unit-amplitude IQ")
-    axg.set_ylabel("groups")
-    axg.legend(fontsize=8)
-    axg.grid(alpha=0.4)
-    fig.tight_layout()
-    fig.savefig(path, dpi=110)
-    plt.close(fig)
-    print(path)
-    return 0
+    # the full operating-curve matrix lives in _viz_ber (timing x framer x
+    # burst-correction span, optional time-varying multipath)
+    from real_time_sdr_tpu._viz_ber import ber_curve
+    return ber_curve(cfg, args)
 
 
 if __name__ == "__main__":

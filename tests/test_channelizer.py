@@ -49,3 +49,44 @@ def test_channelize_and_decode_two_stations():
                 framer.feed(bits[b][:nbs[b]])
         assert framer.events.ps_name == truth["ps_name"], f"station {s_idx}"
         assert framer.events.pi == truth["pi"]
+
+
+@pytest.mark.slow
+def test_adjacent_channel_interferer():
+    """A +20 dB adjacent-channel interferer 200 kHz away (one FM raster
+    step): the channelizer's decimation filter must isolate the weak
+    station well enough for full stereo + RDS PS decode (VERDICT r2 #7)."""
+    rx = Receiver(0, stereo=True, rds=True, pll_tier=1)
+    cfg = rx.cfg
+    wide_fs = 4 * cfg.rf_fs
+    stations = [
+        dict(offset_hz=-400_000, ps_name="WEAK-OK ", pi=0x3E3E, pty=4,
+             tone_left=700.0, tone_right=700.0, amp=1.0),
+        dict(offset_hz=-200_000, ps_name="LOUD-ADJ", pi=0x4F4F, pty=8,
+             tone_left=1800.0, tone_right=1800.0, amp=10.0),  # +20 dB
+    ]
+    nb = 26
+    iw, qw, truths = synth.wideband_iq(cfg, wide_fs, stations, nb)
+
+    ch = Channelizer(cfg, wide_fs, [s["offset_hz"] for s in stations])
+    (i_ds, q_ds), _ = ch(jnp.asarray(iw), jnp.asarray(qw), ch.init_state())
+    u8 = ch.to_uint8(i_ds, q_ds)
+
+    bank = ChannelBank(rx, n_channels=2)
+    state, out = bank.run_segment(bank.init_state(), u8)
+
+    fs = float(cfg.audio_fs)
+    for s_idx, (truth, tone_hz) in enumerate(zip(truths, (700.0, 1800.0))):
+        left = np.asarray(out.left)[s_idx]
+        left = left[len(left) // 3:]
+        sp = np.abs(np.fft.rfft(left * np.hanning(len(left))))
+        tone = np.fft.rfftfreq(len(left), 1 / fs)[sp.argmax()]
+        assert abs(tone - tone_hz) < 10, f"station {s_idx}: tone {tone:.0f}"
+        framer = RdsFramer()
+        bits = np.asarray(out.rds_bits)[s_idx]
+        nbs = np.asarray(out.rds_nbits)[s_idx]
+        for b in range(bits.shape[0]):
+            if nbs[b] > 0:
+                framer.feed(bits[b][:nbs[b]])
+        assert framer.events.ps_name == truth["ps_name"], f"station {s_idx}"
+        assert framer.events.pi == truth["pi"]
