@@ -82,6 +82,15 @@ def make_parser() -> argparse.ArgumentParser:
     ap.add_argument("--drop-oldest", action="store_true",
                     help="real-time mode: drop stale input blocks instead of "
                          "backpressuring the source")
+    ap.add_argument("--monitor", default=None, metavar="PATH",
+                    help="write an atomic .npz diagnostic snapshot (latest "
+                         "audio block, RDS matched-filter output, decode "
+                         "stats) every --monitor-every blocks; view live "
+                         "with `python -m real_time_sdr_tpu.viz <mode> "
+                         "--live PATH` (the reference's fmMonoAnim "
+                         "while-processing view, model/fmMonoAnim.py:42-66)")
+    ap.add_argument("--monitor-every", type=int, default=4,
+                    help="blocks between --monitor snapshots")
     ap.add_argument("--stations", default=None,
                     help="comma-separated station offsets in Hz: treat the "
                          "input as ONE wideband capture and channelize all "
@@ -92,6 +101,25 @@ def make_parser() -> argparse.ArgumentParser:
     ap.add_argument("--output-dir", default=None,
                     help="per-station PCM output directory (wideband mode)")
     return ap
+
+
+def _monitor_snapshot(path: str, cfg, stereo: bool, framer, block: int,
+                      pcm_np, clean_np) -> None:
+    """Atomic .npz snapshot of the running decode for `viz --live`."""
+    import numpy as np
+    audio = pcm_np[0::2] if stereo else pcm_np  # int16, one block
+    ev = framer.events if framer is not None else None
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, block=block, fs=float(cfg.audio_fs),
+                 audio=np.asarray(audio),
+                 clean=(np.zeros(0, np.float32) if clean_np is None
+                        else np.asarray(clean_np, np.float32)),
+                 sps=int(cfg.sps),
+                 ps=str((ev.ps_name if ev else None) or ""),
+                 pi=int((ev.pi if ev else 0) or 0),
+                 groups=int(ev.groups_decoded if ev else 0))
+    os.replace(tmp, path)
 
 
 def _atomic_json(path: str, obj) -> None:
@@ -418,13 +446,17 @@ def main(argv=None) -> int:
         batched = sustained real time; experiments/e2e_latency.py)."""
         nonlocal n_blocks
         take = [in_flight.popleft() for _ in range(k)]
+        want_clean = args.monitor and rds
         if framer is not None:
             fetched = jax.device_get(
-                [(p_, o.rds_nbits, o.rds_bits) for p_, o, _, _ in take])
+                [(p_, o.rds_nbits, o.rds_bits,
+                  o.rds_clean if want_clean else None)
+                 for p_, o, _, _ in take])
         else:
             fetched = jax.device_get(
-                [(p_, None, None) for p_, o, _, _ in take])
-        for (pcm_np, n, bits_np), (_, _, t_in, g) in zip(fetched, take):
+                [(p_, None, None, None) for p_, o, _, _ in take])
+        for (pcm_np, n, bits_np, clean_np), (_, _, t_in, g) in zip(fetched,
+                                                                   take):
             step_len = pcm_np.shape[0] // g
             for j in range(g):
                 writer.write(pcm_np[j * step_len:(j + 1) * step_len])
@@ -433,6 +465,12 @@ def main(argv=None) -> int:
                     if nj > 0:
                         framer.feed((bits_np[j] if g > 1 else bits_np)[:nj])
                 n_blocks += 1
+                if args.monitor and n_blocks % max(1, args.monitor_every) == 0:
+                    _monitor_snapshot(
+                        args.monitor, cfg, stereo, framer, n_blocks,
+                        pcm_np[j * step_len:(j + 1) * step_len],
+                        None if clean_np is None
+                        else (clean_np[j] if g > 1 else clean_np))
             latencies.append(time.perf_counter() - t_in)
 
     nxt = read_group()

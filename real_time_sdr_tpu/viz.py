@@ -50,6 +50,20 @@ def main(argv=None) -> int:
                     help="--ber channel: 'multipath' adds a 2-ray "
                          "time-varying (1 Hz doppler beat) echo channel on "
                          "top of each AWGN point")
+    ap.add_argument("--live", default=None, metavar="PATH",
+                    help="live diagnostic view: poll the .npz snapshot a "
+                         "running `cli --monitor PATH` decode refreshes and "
+                         "re-render <out>/live.png on every update (the "
+                         "reference's while-processing FuncAnimation PSD, "
+                         "model/fmMonoAnim.py:42-66, headless-friendly)")
+    ap.add_argument("--frames", type=int, default=0,
+                    help="--live: stop after N rendered frames "
+                         "(0 = until the snapshot stops updating)")
+    ap.add_argument("--refresh", type=float, default=0.5,
+                    help="--live: poll interval seconds")
+    ap.add_argument("--live-timeout", type=float, default=8.0,
+                    help="--live: exit after this many seconds without a "
+                         "snapshot update")
     args = ap.parse_args(argv)
 
     # must precede the first `import jax` — the default cache dir is captured
@@ -66,6 +80,8 @@ def main(argv=None) -> int:
     from real_time_sdr_tpu.utils import viz
 
     cfg = mode_config(args.mode)
+    if args.live:
+        return _live_view(cfg, args)
     if args.ber:
         return _ber_curve(cfg, args)
     blk = 2 * cfg.block_size_iq
@@ -176,6 +192,80 @@ def main(argv=None) -> int:
     for w in written:
         print(w)
     return 0
+
+
+def _live_view(cfg, args) -> int:
+    """Poll a `cli --monitor` snapshot and re-render live.png per update.
+
+    The reference renders a FuncAnimation PSD while processing
+    (model/fmMonoAnim.py:42-66); this is its headless twin: the decode
+    process owns the device, the viewer owns matplotlib, and the .npz
+    snapshot file (atomically replaced) is the only coupling — so the
+    viewer can attach/detach freely and runs over ssh.
+    """
+    import time
+
+    import numpy as np
+
+    from real_time_sdr_tpu.utils import viz as V
+
+    os.makedirs(args.out, exist_ok=True)
+    out_png = os.path.join(args.out, "live.png")
+    plt = V._mpl()
+
+    rendered = 0
+    last_mtime = None
+    t_last = time.monotonic()
+    while True:
+        try:
+            mtime = os.stat(args.live).st_mtime_ns
+        except FileNotFoundError:
+            mtime = None
+        if mtime is not None and mtime != last_mtime:
+            try:
+                with np.load(args.live) as d:
+                    snap = {k: d[k] for k in d.files}
+            except Exception:
+                time.sleep(0.05)  # mid-replace on a non-atomic filesystem
+                continue
+            last_mtime = mtime
+            t_last = time.monotonic()
+            fig = plt.figure(figsize=(7.5, 5.4))
+            ax = fig.add_subplot(2, 1, 1)
+            audio = snap["audio"].astype(np.float64) / 32768.0
+            V.plot_psd(ax, audio, float(snap["fs"]))
+            ax.set_title(
+                f"block {int(snap['block'])}  PI {int(snap['pi']):04x}  "
+                f"PS '{str(snap['ps'])}'  groups {int(snap['groups'])}")
+            ax.set_ylabel("audio PSD (dB)")
+            clean = snap["clean"]
+            ax2 = fig.add_subplot(2, 1, 2)
+            if clean.size:
+                sps = int(snap["sps"])
+                n_tr = min(120, clean.size // (2 * sps) - 1)
+                for k in range(max(n_tr, 0)):
+                    ax2.plot(np.arange(2 * sps),
+                             clean[k * 2 * sps:(k + 1) * 2 * sps],
+                             color="#000088", alpha=0.12, lw=0.7)
+                ax2.set_ylabel("RDS eye (RRC out)")
+            else:
+                ax2.text(0.5, 0.5, "no RDS branch", ha="center")
+            ax2.set_xlabel(f"sample (2 symbols @ sps={int(snap['sps'])})")
+            fig.tight_layout()
+            tmp = out_png + ".tmp.png"
+            fig.savefig(tmp, dpi=100)
+            plt.close(fig)
+            os.replace(tmp, out_png)
+            rendered += 1
+            print(f"frame {rendered}: block {int(snap['block'])} -> "
+                  f"{out_png}", file=sys.stderr, flush=True)
+            if args.frames and rendered >= args.frames:
+                return 0
+        if time.monotonic() - t_last > args.live_timeout:
+            print(f"snapshot idle > {args.live_timeout:.0f}s; exiting "
+                  f"({rendered} frames rendered)", file=sys.stderr)
+            return 0 if rendered else 1
+        time.sleep(args.refresh)
 
 
 def _ber_curve(cfg, args) -> int:
