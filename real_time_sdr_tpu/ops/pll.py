@@ -25,7 +25,11 @@ wherever the input is nonzero. Newton's method therefore converges
 quadratically: linearize e around the current phase trajectory, solve the
 resulting affine 2x2 recurrence in (integrator, phase) with a single
 ``lax.associative_scan`` of affine maps, repeat ``iters`` times. Each sweep is
-log-depth and fully vectorized — this is what makes the PLL scale on TPU.
+log-depth and fully vectorized. Role: the block-parallel twin of the exact
+loop for correctness work (reference-semantics parity tests, the dryrun's dp
+configuration) — NOT the production path: measured on v5e the tier-3
+feedforward synchronizer (ops.sync) is ~14x faster and is what ships
+(CLAUDE.md dead-ends, BENCH_NOTES).
 
 Numerical hygiene not in the reference: the oscillator ramp 2*pi*(f/Fs)*trig
 is computed from an *integer* counter wrapped modulo 2*Fs/gcd(f,Fs) (exact),
