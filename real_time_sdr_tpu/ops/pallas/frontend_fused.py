@@ -38,6 +38,7 @@ and grid parallelism survive).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +51,8 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["FusedFrontendFIR"]
 
 _G = 64  # outputs per frame: 2*G = one 128-lane column block (I | Q)
+# A/B hook: split-matmul frame form (see _kernel). Measured on v5e.
+_SPLIT = os.environ.get("RTSDR_FRONTEND_SPLIT", "0") == "1"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -60,11 +63,6 @@ def _kernel(a_ref, b_ref, whi_ref, wlo_ref, pi_ref, pq_ref, o_ref, *,
             tf, g, stride, jp, s_over):
     a = a_ref[:]                      # (tf, stride) int8 = raw bytes,
     b = b_ref[:]                      # (32, stride)   bit-reinterpreted
-    parts = [a]
-    for s in range(1, s_over):
-        rows_s = jnp.concatenate([a[s:], b[:s]], axis=0)
-        take = min(stride, jp - s * stride)
-        parts.append(rows_s[:, :take])
     # Normalize IN-KERNEL: the operand is the raw byte x reinterpreted as
     # int8, and (x ^ 0x80) as int8 == x - 128 in two's complement — one
     # vector xor, then an exact int8->bf16 cast. Doing it here instead of
@@ -72,10 +70,39 @@ def _kernel(a_ref, b_ref, whi_ref, wlo_ref, pi_ref, pq_ref, o_ref, *,
     # passes over the raw stream (measured ~240 us/run at 32ch x 12blk —
     # the staging copies cost more than the matmuls). Mosaic cannot cast
     # uint8 (and v5e rejects bf16 compares), hence the int8 xor trick.
-    v = jnp.concatenate(parts, axis=-1)
-    frames = (v ^ jnp.int8(-128)).astype(jnp.bfloat16)
-    y = (jnp.dot(frames, whi_ref[:], preferred_element_type=jnp.float32)
-         + jnp.dot(frames, wlo_ref[:], preferred_element_type=jnp.float32))
+    #
+    # SPLIT-MATMUL frame form: instead of lane-concatenating the s_over
+    # window parts into one (tf, jp) buffer and multiplying once, each
+    # part multiplies against its own row-slice of the weight matrix and
+    # the partial products accumulate in f32 — same FLOPs, no wide concat
+    # buffer (lane concats at non-128 offsets are VPU-expensive).
+    if _SPLIT:
+        fa = (a ^ jnp.int8(-128)).astype(jnp.bfloat16)
+        y = (jnp.dot(fa, whi_ref[:stride, :],
+                     preferred_element_type=jnp.float32)
+             + jnp.dot(fa, wlo_ref[:stride, :],
+                       preferred_element_type=jnp.float32))
+        for s in range(1, s_over):
+            rows_s = jnp.concatenate([a[s:], b[:s]], axis=0)
+            take = min(stride, jp - s * stride)
+            fs_ = (rows_s[:, :take] ^ jnp.int8(-128)).astype(jnp.bfloat16)
+            off = s * stride
+            y = (y + jnp.dot(fs_, whi_ref[off:off + take, :],
+                             preferred_element_type=jnp.float32)
+                 + jnp.dot(fs_, wlo_ref[off:off + take, :],
+                           preferred_element_type=jnp.float32))
+    else:
+        parts = [a]
+        for s in range(1, s_over):
+            rows_s = jnp.concatenate([a[s:], b[:s]], axis=0)
+            take = min(stride, jp - s * stride)
+            parts.append(rows_s[:, :take])
+        v = jnp.concatenate(parts, axis=-1)
+        frames = (v ^ jnp.int8(-128)).astype(jnp.bfloat16)
+        y = (jnp.dot(frames, whi_ref[:],
+                     preferred_element_type=jnp.float32)
+             + jnp.dot(frames, wlo_ref[:],
+                       preferred_element_type=jnp.float32))
     i_sig, q_sig = y[:, :g], y[:, g:2 * g]
     # predecessor of in-frame column r is column r-1; column 0's
     # predecessor is the previous FRAME's last column — a sublane shift of
@@ -160,7 +187,8 @@ class FusedFrontendFIR:
         assert n2 % self.dprime == 0, (n2, self.dprime)
         n_out = (n2 // 2) // self.down
         c_frames = -(-n_out // self.g)
-        tf = 128 if c_frames >= 128 else _round_up(c_frames, 32)
+        tf_cap = int(os.environ.get("RTSDR_FRONTEND_TF", "128"))
+        tf = tf_cap if c_frames >= tf_cap else _round_up(c_frames, 32)
         nbf = -(-c_frames // tf)
         rows_total = nbf * tf + 32
         plan = (n_out, c_frames, tf, nbf, rows_total)
