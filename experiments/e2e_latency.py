@@ -59,6 +59,12 @@ def _drain(proc, per_read_sleep=0.0, chunk=1 << 16):
             time.sleep(per_read_sleep)
 
 
+def _read_stderr(proc, sink):
+    """Drain stderr concurrently: --stats emits a line per dispatch, and a
+    full 64 KB stderr pipe would block the child (and then the feeder)."""
+    sink.append(proc.stderr.read().decode())
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--blocks", type=int, default=40)
@@ -89,10 +95,14 @@ def main() -> None:
                 "--max-blocks", str(args.blocks), *extra_cpu], env)
     th = threading.Thread(target=_drain, args=(p,), daemon=True)
     th.start()
+    esink: list = []
+    te = threading.Thread(target=_read_stderr, args=(p, esink), daemon=True)
+    te.start()
     _feed(p, iq_bytes, block_bytes, budget, args.blocks + 4)
-    err = p.stderr.read().decode()
     p.wait(timeout=600)
+    te.join(timeout=30)
     th.join(timeout=10)
+    err = esink[0] if esink else ""
     for line in err.splitlines():
         if line.startswith(("block latency", "total:", "warmed")):
             print(line, flush=True)
@@ -107,10 +117,14 @@ def main() -> None:
     th = threading.Thread(
         target=_drain, args=(p, 3.0 * budget, pcm_block), daemon=True)
     th.start()
+    esink = []
+    te = threading.Thread(target=_read_stderr, args=(p, esink), daemon=True)
+    te.start()
     _feed(p, iq_bytes, block_bytes, budget, args.blocks + 4)
-    err = p.stderr.read().decode()
     p.wait(timeout=600)
+    te.join(timeout=30)
     th.join(timeout=10)
+    err = esink[0] if esink else ""
     dropped = [ln for ln in err.splitlines() if ln.startswith("dropped")]
     lat = [ln for ln in err.splitlines() if ln.startswith("block latency")]
     print((dropped + ["dropped: none reported"])[0], flush=True)

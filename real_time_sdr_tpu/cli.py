@@ -142,10 +142,11 @@ def run_wideband(args, rx, cfg) -> int:
     from real_time_sdr_tpu.utils.audio import mono_pcm, stereo_pcm
     from real_time_sdr_tpu.utils import state as state_util
 
-    if args.io_depth != 4 or args.drop_oldest:
-        print("warning: --io-depth/--drop-oldest apply to the single-station "
-              "native I/O path and are ignored in --stations mode",
-              file=sys.stderr)
+    if (args.io_depth != 4 or args.drop_oldest or args.segment != 1
+            or args.monitor):
+        print("warning: --io-depth/--drop-oldest/--segment/--monitor apply "
+              "to the single-station native I/O path and are ignored in "
+              "--stations mode", file=sys.stderr)
     try:
         offsets = [int(x) for x in args.stations.split(",")]
     except ValueError:
@@ -446,12 +447,19 @@ def main(argv=None) -> int:
         batched = sustained real time; experiments/e2e_latency.py)."""
         nonlocal n_blocks
         take = [in_flight.popleft() for _ in range(k)]
-        want_clean = args.monitor and rds
+        # only entries that will actually emit a --monitor snapshot ship
+        # their (larger) RRC output through the fetch
+        ev = max(1, args.monitor_every)
+        needs, base = [], n_blocks
+        for _, _o, _, g in take:
+            needs.append(bool(args.monitor) and rds
+                         and any((base + j + 1) % ev == 0 for j in range(g)))
+            base += g
         if framer is not None:
             fetched = jax.device_get(
                 [(p_, o.rds_nbits, o.rds_bits,
-                  o.rds_clean if want_clean else None)
-                 for p_, o, _, _ in take])
+                  o.rds_clean if need else None)
+                 for (p_, o, _, _), need in zip(take, needs)])
         else:
             fetched = jax.device_get(
                 [(p_, None, None, None) for p_, o, _, _ in take])

@@ -205,16 +205,28 @@ class FusedFrontendFIR:
         return {"kind": "fused_u8_bf16x2", "flops": flops, "bytes": byts,
                 "dims": (nbf * tf, self.jp, 2 * self.g)}
 
-    def _boundary_sample(self, xf: jax.Array, m: int):
-        """Decimated (I[m], Q[m]) via a tiny dot over the m-th byte window.
+    def _boundary_dots(self, xf: jax.Array, ms) -> jax.Array:
+        """Decimated (I[m], Q[m]) for output indices ``ms`` via tiny dots
+        over the raw byte windows — (..., len(ms), 2).
 
-        xf: (..., padded L) uint8 tail-prefixed stream."""
-        base = 2 * m * self.down
-        w = jax.lax.slice_in_dim(xf, base, base + 2 * self.num_taps,
-                                 axis=-1).astype(jnp.float32)
-        win = jnp.where(w >= 0, w - 128.0, w + 128.0)  # see _kernel note
-        return jnp.einsum("...j,jr->...r", win, jnp.asarray(self._v),
+        xf: (..., padded L) raw bytes reinterpreted as int8. STATIC slices,
+        not a gather: jnp.take with per-channel-equal indices made XLA's
+        layout assignment flip the whole staging chain to a channel-minor
+        layout (three transposing copies of the 40+ MB stream on mode 1 —
+        measured). The sign-select is the int8-reinterpret normalization
+        (see _kernel)."""
+        k2 = 2 * self.num_taps
+        w = jnp.stack(
+            [jax.lax.slice_in_dim(xf, int(2 * m * self.down),
+                                  int(2 * m * self.down) + k2, axis=-1)
+             for m in ms], axis=-2).astype(jnp.float32)
+        w = jnp.where(w >= 0, w - 128.0, w + 128.0)
+        return jnp.einsum("...fj,jr->...fr", w, jnp.asarray(self._v),
                           precision=jax.lax.Precision.HIGHEST)
+
+    def _boundary_sample(self, xf: jax.Array, m: int):
+        """Decimated (I[m], Q[m]) — the carried discriminator state."""
+        return self._boundary_dots(xf, [m])[..., 0, :]
 
     def __call__(self, s_u8: jax.Array, tail_u8: jax.Array,
                  prev_i: jax.Array, prev_q: jax.Array):
@@ -245,21 +257,9 @@ class FusedFrontendFIR:
         # byte windows (one small gather+einsum — nbf ~ n_out/8192, three
         # orders of magnitude less traffic than per-frame windows); tile 0
         # uses the carried (prev_i, prev_q) state
-        k2 = 2 * self.num_taps
         if nbf > 1:
-            # STATIC slices, not a gather: jnp.take with per-channel-equal
-            # indices made XLA's layout assignment flip the whole staging
-            # chain to a channel-minor layout (three transposing copies of
-            # the 40+ MB stream on mode 1 — measured). nbf-1 tiny slices
-            # stack gather-free.
             m_bnd = (np.arange(1, nbf) * tf * self.g - 1)
-            offs = 2 * m_bnd * self.down
-            w = jnp.stack(
-                [jax.lax.slice_in_dim(xf, int(o), int(o) + k2, axis=-1)
-                 for o in offs], axis=-2).astype(jnp.float32)
-            wins = jnp.where(w >= 0, w - 128.0, w + 128.0)
-            bnd = jnp.einsum("...fj,jr->...fr", wins, jnp.asarray(self._v),
-                             precision=jax.lax.Precision.HIGHEST)
+            bnd = self._boundary_dots(xf, m_bnd)
             first = jnp.stack([prev_i, prev_q], axis=-1)[..., None, :]
             bnd = jnp.concatenate([first, bnd], axis=-2)  # (..., nbf, 2)
         else:

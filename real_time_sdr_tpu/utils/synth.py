@@ -382,9 +382,9 @@ def wideband_iq(cfg: ReceiverConfig, wide_fs: int, stations: list[dict],
     """Multi-station wideband capture for the channelizer.
 
     Each stations[k] dict may carry offset_hz (required), an ``amp``
-    linear power scale (default 1.0 — e.g. amp=10 is a +20 dB adjacent-
-    channel interferer), plus any station_iq kwargs (ps_name, pi, pty,
-    tone_left, tone_right). Returns (i_wide, q_wide float32 at wide_fs,
+    linear AMPLITUDE scale (default 1.0; power scales as amp**2, so
+    amp=10 is a +20 dB adjacent-channel interferer), plus any station_iq
+    kwargs (ps_name, pi, pty, tone_left, tone_right). Returns (i_wide, q_wide float32 at wide_fs,
     truths). Stations are synthesized at cfg.rf_fs, upsampled to wide_fs,
     and frequency-shifted to their offsets.
     """

@@ -226,7 +226,18 @@ def _live_view(cfg, args) -> int:
                 with np.load(args.live) as d:
                     snap = {k: d[k] for k in d.files}
             except Exception:
-                time.sleep(0.05)  # mid-replace on a non-atomic filesystem
+                # mid-replace on a non-atomic filesystem, or a stale
+                # truncated snapshot: retry on the NORMAL poll cadence and
+                # fall through to the --live-timeout check below (a
+                # permanently unreadable file must not spin forever)
+                snap = None
+            if snap is None:
+                if time.monotonic() - t_last > args.live_timeout:
+                    print(f"snapshot unreadable/idle > "
+                          f"{args.live_timeout:.0f}s; exiting "
+                          f"({rendered} frames rendered)", file=sys.stderr)
+                    return 0 if rendered else 1
+                time.sleep(args.refresh)
                 continue
             last_mtime = mtime
             t_last = time.monotonic()

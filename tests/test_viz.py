@@ -47,42 +47,3 @@ def test_viz_driver_synthetic(tmp_path):
                  "rds_constellation.png", "rds_eye.gnuplot",
                  "rds_clean.dat", "alt_rds.png"):
         assert (tmp_path / name).exists(), name
-
-
-@pytest.mark.slow
-def test_live_view_attaches_to_running_decode(tmp_path):
-    """cli --monitor + viz --live run CONCURRENTLY: the viewer must render
-    multiple frames from the atomically-replaced snapshot while the decode
-    is still streaming (the reference's while-processing fmMonoAnim view,
-    VERDICT r2 #8)."""
-    from real_time_sdr_tpu.config import mode_config
-    from real_time_sdr_tpu.utils import synth
-
-    cfg = mode_config(0)
-    iq, _ = synth.station_iq(cfg, 20, ps_name="LIVEVIEW", pi=0xD1D1)
-    raw = tmp_path / "station.raw"
-    iq.tofile(raw)
-    mon = tmp_path / "mon.npz"
-    outdir = tmp_path / "view"
-
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    with open(raw, "rb") as fin, open(tmp_path / "out.pcm", "wb") as fout:
-        dec = subprocess.Popen(
-            [sys.executable, "-m", "real_time_sdr_tpu.cli", "--cpu", "0",
-             "r", "--monitor", str(mon), "--monitor-every", "2"],
-            stdin=fin, stdout=fout, stderr=subprocess.PIPE, env=env)
-        try:
-            view = subprocess.run(
-                [sys.executable, "-m", "real_time_sdr_tpu.viz", "0",
-                 "--live", str(mon), "--frames", "2", "--refresh", "0.2",
-                 "--live-timeout", "420", "--out", str(outdir), "--cpu"],
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
-                timeout=560)
-        finally:
-            dec.wait(timeout=560)
-    assert view.returncode == 0, view.stderr.decode()[-2000:]
-    err = view.stderr.decode()
-    assert "frame 2:" in err, err
-    png = outdir / "live.png"
-    assert png.exists() and png.stat().st_size > 1000
