@@ -187,7 +187,15 @@ class FusedFrontendFIR:
         assert n2 % self.dprime == 0, (n2, self.dprime)
         n_out = (n2 // 2) // self.down
         c_frames = -(-n_out // self.g)
-        tf_cap = int(os.environ.get("RTSDR_FRONTEND_TF", "128"))
+        # tile height: keep the per-tile matmul work roughly constant
+        # (tf * jp ~ 128 * 1536, the measured mode-0 optimum) so
+        # small-decimation modes with narrow jp still amortize per-tile
+        # overheads (mode 1: jp=768 -> tf=256, measured -1.5%; larger caps
+        # measured neutral-to-worse at mode 0)
+        tf_env = os.environ.get("RTSDR_FRONTEND_TF")
+        tf_cap = (int(tf_env) if tf_env
+                  else min(512, max(128, _round_up(128 * 1536 // self.jp,
+                                                   32))))
         tf = tf_cap if c_frames >= tf_cap else _round_up(c_frames, 32)
         nbf = -(-c_frames // tf)
         rows_total = nbf * tf + 32
