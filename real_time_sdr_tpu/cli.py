@@ -142,10 +142,9 @@ def run_wideband(args, rx, cfg) -> int:
     from real_time_sdr_tpu.utils.audio import mono_pcm, stereo_pcm
     from real_time_sdr_tpu.utils import state as state_util
 
-    if (args.io_depth != 4 or args.drop_oldest or args.segment != 1
-            or args.monitor):
-        print("warning: --io-depth/--drop-oldest/--segment/--monitor apply "
-              "to the single-station native I/O path and are ignored in "
+    if args.io_depth != 4 or args.drop_oldest or args.monitor:
+        print("warning: --io-depth/--drop-oldest/--monitor apply to the "
+              "single-station native I/O path and are ignored in "
               "--stations mode", file=sys.stderr)
     try:
         offsets = [int(x) for x in args.stations.split(",")]
@@ -206,11 +205,12 @@ def run_wideband(args, rx, cfg) -> int:
                     for k in range(len(offsets))]
                 print(f"warning: could not resume RDS framer state ({e!r});"
                       " starting fresh", file=sys.stderr)
+    seg_n = max(1, args.segment)
     if args.warmup:
         t0 = time.perf_counter()
-        zi = jnp.zeros((block_pairs,), jnp.float32)
+        zi = jnp.zeros((seg_n * block_pairs,), jnp.float32)
         (wi, wq), _ = ch(zi, zi, cstate)     # discarded: state untouched
-        _, wout = bank.step(bstate, ch.to_uint8(wi, wq))
+        _, wout = bank.run_segment(bstate, ch.to_uint8(wi, wq))
         np.asarray(jax.tree_util.tree_leaves(wout)[0]).ravel()[:1]
         print(f"warmed up (compiled) in {time.perf_counter()-t0:.1f} s",
               file=sys.stderr)
@@ -219,9 +219,10 @@ def run_wideband(args, rx, cfg) -> int:
     in_flight = []  # (per-station pcm device arrays, out) awaiting fetch
 
     def drain_one():
-        # ONE batched device_get per block: per-station np.asarray/int()
-        # fetches each pay a full RPC round trip (~40-60 ms through the
-        # axon tunnel), which with N stations could never keep up live
+        # ONE batched device_get per drained entry: per-station
+        # np.asarray/int() fetches each pay a full RPC round trip
+        # (~40-60 ms through the axon tunnel), which with N stations could
+        # never keep up live
         pcms, out = in_flight.pop(0)
         if framers is not None:
             pcm_np, nb_np, bits_np = jax.device_get(
@@ -232,21 +233,29 @@ def run_wideband(args, rx, cfg) -> int:
         for k in range(len(offsets)):
             np.asarray(pcm_np[k]).astype("<i2").tofile(outs[k])
             if framers is not None:
-                nb = int(nb_np[k])
-                if nb > 0:
-                    framers[k].feed(np.asarray(bits_np[k])[:nb])
+                # (nb,) per-block counts in segment mode, a scalar otherwise
+                nbk = np.atleast_1d(np.asarray(nb_np[k]))
+                bitsk = np.atleast_2d(np.asarray(bits_np[k]))
+                for bi in range(nbk.shape[0]):
+                    if nbk[bi] > 0:
+                        framers[k].feed(bitsk[bi][:nbk[bi]])
 
     while True:
         t0 = time.perf_counter()
-        buf = fin.read(2 * block_pairs)
-        if buf is None or len(buf) < 2 * block_pairs:
+        # --segment G: channelize + decode G wideband blocks per device
+        # call (one graph, G fewer RPCs — same serving shape as the
+        # station bank; the trailing partial segment shrinks to what the
+        # pipe delivered, at worst one extra compile at stream end)
+        buf = fin.read(seg_n * 2 * block_pairs)
+        nb_got = 0 if buf is None else len(buf) // (2 * block_pairs)
+        if not nb_got:
             break
-        x = (np.frombuffer(buf, dtype=np.uint8).astype(np.float32)
-             - 128.0) / 128.0
+        x = (np.frombuffer(buf[:nb_got * 2 * block_pairs], dtype=np.uint8)
+             .astype(np.float32) - 128.0) / 128.0
         (i_ds, q_ds), cstate = ch(jnp.asarray(x[0::2]), jnp.asarray(x[1::2]),
                                   cstate)
         u8 = ch.to_uint8(i_ds, q_ds)
-        bstate, out = bank.step(bstate, u8)  # async dispatch
+        bstate, out = bank.run_segment(bstate, u8)  # async dispatch
         if rx.stereo:
             pcms = [stereo_pcm(out.left[k], out.right[k])
                     for k in range(len(offsets))]
@@ -255,12 +264,12 @@ def run_wideband(args, rx, cfg) -> int:
         in_flight.append((pcms, out))
         if len(in_flight) > args.pipeline:  # defer fetch to overlap dispatch
             drain_one()
-        n_blocks += 1
+        n_blocks += nb_got
         dt = time.perf_counter() - t0
         t_total += dt
         if args.stats:
             print(f"block {n_blocks}: {dt*1e3:.2f} ms "
-                  f"({budget/dt:.1f}x real time)", file=sys.stderr)
+                  f"({nb_got*budget/dt:.1f}x real time)", file=sys.stderr)
         if args.max_blocks and n_blocks >= args.max_blocks:
             break
     while in_flight:

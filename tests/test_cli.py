@@ -143,6 +143,25 @@ def test_cli_wideband_multistation(tmp_path):
         b = (outdir2 / f"station_{k}.pcm").read_bytes()
         assert a == b
 
+    # segment serving (G wideband blocks per device call): same stream
+    # semantics — audio agrees to int16 rounding (tier-1 PLL wrap points
+    # move to call boundaries, the known f32-order difference) and the RDS
+    # text decodes identically
+    outdir3 = tmp_path / "stations_segmented"
+    r3 = run_cli(["0", "r", "--stations=-2000000,1500000",
+                  "--wide-fs", "9600000", "--output-dir", str(outdir3),
+                  "--segment", "13"], wb)
+    assert r3.returncode == 0
+    assert "ch0 ps: WIDE-A" in r3.stderr.decode()
+    assert "ch1 ps: WIDE-B" in r3.stderr.decode()
+    for k in range(2):
+        a = np.frombuffer((outdir / f"station_{k}.pcm").read_bytes(),
+                          "<i2").astype(np.int32)
+        c = np.frombuffer((outdir3 / f"station_{k}.pcm").read_bytes(),
+                          "<i2").astype(np.int32)
+        assert a.shape == c.shape
+        assert np.abs(a - c).max() <= 8  # f32 wrap-order, ~4e-4 relative
+
 
 def test_cli_wideband_corrupt_sidecar_starts_fresh(tmp_path):
     """A truncated/corrupt .rds.json must rebuild ALL framers (not leave
