@@ -5,16 +5,17 @@ The reference regenerates the 38/57 kHz carriers with a per-sample PLL
 reproduce that loop exactly / via block-parallel Newton. This module is the
 fully TPU-native alternative: *no recurrence at all*.
 
-    pilot -> [Hilbert FIR + matched delay] -> analytic signal z
-          -> rotate by the exact nominal carrier ramp (integer-wrapped)
-          -> smooth z with a short FIR (the loop filter's noise-averaging role)
-          -> residual phase = atan2(Im, Re); unwrap = one cumsum
+    pilot -> [ONE complex FIR: Hilbert pair (*) ramp-modulated smoother]
+          -> rotate by the exact nominal carrier ramp (integer-wrapped,
+             static table — modulation commutes with LTI filtering, so the
+             rotate-then-smooth chain collapses into the filter design)
+          -> residual phase = atan2(Im, Re); unwrap = one MXU prefix sum
           -> carrier = cos(scale * (nominal ramp + residual) + adjust)
 
-Everything is a handful of full-block vectorized ops (two FIRs, trig,
-a cumsum), so cost is independent of any loop bandwidth and the graph depth
-is O(1) — this is what lets a whole multi-block segment's carrier recovery
-run as ~10 TPU kernels.
+Everything is one shared-frame FIR matmul plus a handful of full-block
+vectorized ops, so cost is independent of any loop bandwidth and the graph
+depth is O(1) — this is what lets a whole multi-block segment's carrier
+recovery run as a few TPU kernels.
 
 Semantics: approximates the locked PLL (validated e2e: stereo separation and
 RDS BER); it does not reproduce the reference's acquisition transient.
@@ -58,12 +59,9 @@ def _hilbert_taps(taps: int) -> np.ndarray:
 
 
 class FFSyncCarry(NamedTuple):
-    in_tail: jax.Array      # shared input tail (delay line + Hilbert FIR
-                            # have the same geometry on the same input, so
-                            # one history serves both — models/audio.py's
-                            # StereoState pattern)
-    sm_i_tail: jax.Array    # smoothing FIR tails (analytic I/Q)
-    sm_q_tail: jax.Array
+    in_tail: jax.Array      # input tail of the ONE combined complex FIR
+                            # (Hilbert pair and smoother collapsed — see
+                            # FeedforwardSync.__init__)
     trig: jax.Array         # int32 global sample counter mod period
     resid: jax.Array        # unwrapped residual phase at the last sample
 
@@ -83,31 +81,41 @@ class FeedforwardSync:
         m = (hilbert_taps - 1) // 2
         delay = np.zeros(hilbert_taps)
         delay[m] = 1.0
-        self.q_fir = PolyFIR(h_h)
-        self.i_fir = PolyFIR(delay)
-        # Smoothing: normalized Hann — plays the loop filter's noise-averaging
-        # role (equivalent noise bandwidth ~ fs/smooth_taps). ONE filter
-        # object: both analytic rails run through it as a stacked batch.
+        # Smoothing: normalized Hann — plays the loop filter's noise-
+        # averaging role (equivalent noise bandwidth ~ fs/smooth_taps).
         i = np.arange(smooth_taps, dtype=np.float64)
         w = np.sin(i * np.pi / smooth_taps) ** 2
-        self.sm_fir = PolyFIR(w / w.sum())
-        self._q_bank = make_bank([self.q_fir], site="sync")
-        self._sm_bank = make_bank([self.sm_fir], site="sync")
-        assert self.i_fir.tail_len == self.q_fir.tail_len
-        # Hilbert/delay-line group delay: where the analytic signal "is" at
-        # FIR output k. The smoother adds (smooth_taps-1)/2 more delay, but
-        # only to the slowly-rotating RESIDUAL (the nominal ramp is removed
-        # before smoothing) — so the ramp rotation uses m alone and the
-        # residual-slope compensation uses the total.
+        w = w / w.sum()
+        # COLLAPSE the chain [analytic FIR pair] -> [rotate by the nominal
+        # ramp] -> [smooth both rails] into ONE complex FIR + a rotation
+        # AFTER: for the exact integer ramp theta_k = w0*(trig+k-m),
+        #     sum_m w[m] e^{-j theta_{k-m}} z_{k-m}
+        #   = e^{-j theta_k} * (z * w~)_k,   w~[m] = w[m] e^{+j w0 m},
+        # and z = (delta_m + j h_hilbert) * x, so the whole front half is
+        #     s_k = e^{-j theta_k} * (x * c)_k,  c = (delta + j h) * w~.
+        # One shared-frame FIR bank (Re c, Im c — one matmul) replaces
+        # three FIR dispatches and two smoother tails; the rotation fuses
+        # into the atan2 block. Exact in exact arithmetic; f32-level
+        # equivalent in practice (e2e SNR/BER gates unchanged).
+        w0 = 2.0 * np.pi * p.freq / p.fs
+        wm = w * np.exp(1j * w0 * np.arange(smooth_taps))
+        c = np.convolve(delay + 1j * h_h, wm)   # complex, 127 taps
+        self.cr_fir = PolyFIR(c.real)
+        self.ci_fir = PolyFIR(c.imag)
+        self._bank = make_bank([self.cr_fir, self.ci_fir], site="sync")
+        # Group delay: the analytic estimate at FIR output k describes
+        # input sample k-m (Hilbert pair); the smoother adds
+        # (smooth_taps-1)/2 more delay, but only to the slowly-rotating
+        # RESIDUAL (the nominal ramp is removed by the rotation) — so the
+        # ramp rotation uses m alone and the residual-slope compensation
+        # uses the total.
         self.hilbert_delay = m
         self.group_delay = m + (smooth_taps - 1) // 2
 
     def init(self, batch: tuple = ()) -> FFSyncCarry:
         t = lambda n: jnp.zeros(batch + (n,), jnp.float32)
         return FFSyncCarry(
-            in_tail=t(self.q_fir.tail_len),
-            sm_i_tail=t(self.sm_fir.tail_len),
-            sm_q_tail=t(self.sm_fir.tail_len),
+            in_tail=t(self.cr_fir.tail_len),
             trig=jnp.zeros(batch, jnp.int32),
             resid=jnp.zeros(batch, jnp.float32))
 
@@ -130,32 +138,23 @@ class FeedforwardSync:
     def __call__(self, x: jax.Array, carry: FFSyncCarry, p: PllParams = None):
         p = p or self.p
         n = x.shape[-1]
-        i_sig, _ = self.i_fir(x, carry.in_tail)
-        (q_sig,), in_tail = self._q_bank(x, carry.in_tail)
-
-        # Rotate the analytic signal down by the exact nominal ramp evaluated
-        # at the sample it currently describes: t = trig + k - m. cos/sin of
-        # the ramp come from static period-length tables cycled by the
-        # carried phase (bit-identical values, _rolled_table) — the old
-        # per-sample cos+sin evaluation was half of the most expensive
-        # elementwise fusion in the whole receiver graph.
+        # ONE shared-frame matmul runs the whole filter front half (delay +
+        # Hilbert + modulated smoother collapsed into a complex FIR, see
+        # __init__); the rotation by the nominal ramp happens on the
+        # smoothed output (algebraically identical for the exact integer
+        # ramp) and fuses into the atan2 block. cos/sin of the ramp come
+        # from static period-length tables cycled by the carried phase
+        # (bit-identical values, _rolled_table) — per-sample trig was half
+        # of the most expensive elementwise fusion in the receiver graph.
+        (c_re, c_im), in_tail = self._bank(x, carry.in_tail)
         d_total = self.group_delay
         angle_tbl = p.trig_angle(jnp.arange(p.period, dtype=jnp.int32))
         ce = self._rolled_table(jnp.cos(angle_tbl),
                                 carry.trig + 1 - self.hilbert_delay, n)
         se = self._rolled_table(jnp.sin(angle_tbl),
                                 carry.trig + 1 - self.hilbert_delay, n)
-        zr = i_sig * ce + q_sig * se
-        zi = q_sig * ce - i_sig * se
-
-        # two separate 2-D smoothing passes — NOT a stacked (..., 2, n) rail
-        # batch: the stacked form's 3-D frame matrices picked transposing
-        # layouts ({3,2,0,1} reshapes + pads, ~0.45 ms/run at mode 1,
-        # 32ch x 12blk) while two half-size matmuls cost the same MXU time
-        # with clean 2-D layouts (same lesson as CLAUDE.md's stacked-3-D
-        # dead end, just milder)
-        (zr,), sm_i_tail = self._sm_bank(zr, carry.sm_i_tail)
-        (zi,), sm_q_tail = self._sm_bank(zi, carry.sm_q_tail)
+        zr = c_re * ce + c_im * se
+        zi = c_im * ce - c_re * se
 
         resid_w = jnp.arctan2(zi, zr)
         prev = jnp.concatenate([_wrap_pi(carry.resid)[..., None],
@@ -181,7 +180,7 @@ class FeedforwardSync:
         carrier = jnp.cos(p.nco_scale * phase + p.phase_adjust)
 
         new = FFSyncCarry(
-            in_tail=in_tail, sm_i_tail=sm_i_tail, sm_q_tail=sm_q_tail,
+            in_tail=in_tail,
             trig=(carry.trig + n) % p.period,
             resid=jnp.mod(resid_u[..., -1], _FOUR_PI))
         return carrier, new

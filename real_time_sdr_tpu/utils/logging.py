@@ -85,11 +85,10 @@ def stage_costs(rx) -> list[tuple[str, dict]]:
     add("audio", rx.audio, ("pilot_fir", "band_fir", "delay_fir",
                             "mono_fir", "stereo_fir"), n_if)
     def add_sync(prefix, sync, n):
-        add(prefix, sync, ("i_fir", "q_fir"), n)
-        # one smoothing FIR object serves BOTH analytic rails (stacked
-        # batch): charge it per rail
-        for rail in ("sm(I)", "sm(Q)"):
-            out.append((f"{prefix}.{rail}", sync.sm_fir.cost(n)))
+        # the whole filter front half is ONE combined complex FIR (Hilbert
+        # pair convolved with the ramp-modulated smoother, ops/sync.py);
+        # its Re/Im taps ride one shared-frame matmul
+        add(prefix, sync, ("cr_fir", "ci_fir"), n)
 
     sync = getattr(rx.audio, "_sync", None)
     if sync is not None:
