@@ -125,9 +125,12 @@ class FeedforwardSync:
         ramp is integer-periodic (period = 2*fs/gcd, <= ~720), so per-sample
         trig/angle sequences are a PERIOD-sized static table cycled from a
         carried phase: one dynamic_slice of a doubled table + tile + slice,
-        all fusible — no length-n transcendental evaluation, no gather.
-        Values are bit-identical to evaluating at every sample (the table
-        holds the exact f32 per-phase values)."""
+        all fusible — no length-n transcendental evaluation. Values are
+        bit-identical to evaluating at every sample (the table holds the
+        exact f32 per-phase values). NB a one-hot-dot-against-circulant
+        variant (to avoid the batched dynamic_slice's gather lowering)
+        measured 3x SLOWER overall — the circulant did not const-fold;
+        the ~30 us/run gather is the cheaper evil."""
         per = table.shape[-1]
         doubled = jnp.concatenate([table, table], axis=-1)
         rolled = jax.lax.dynamic_slice_in_dim(
