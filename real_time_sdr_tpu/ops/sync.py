@@ -163,10 +163,6 @@ class FeedforwardSync:
         prev = jnp.concatenate([_wrap_pi(carry.resid)[..., None],
                                 resid_w[..., :-1]], axis=-1)
         d = _wrap_pi(resid_w - prev)
-        # unwrap: inclusive prefix sum of the wrapped deltas — via MXU
-        # matmuls, NOT jnp.cumsum (whose reduce_window lowering was the
-        # most expensive kernel in the whole receiver graph; ops/prefix.py)
-        resid_u = carry.resid[..., None] + prefix_sum(d)
 
         # Consumer-visible phase: the locked reference loop's carrier sits at
         # the current sample's pilot phase (measured against ground truth),
@@ -178,12 +174,44 @@ class FeedforwardSync:
         # this keeps warm-up blocks (parallel.time_shard halos) convergent
         # and is the fresher estimate in steady state too.
         mu = jnp.mean(d[..., d.shape[-1] // 2:], axis=-1, keepdims=True)
-        ramp_out = self._rolled_table(angle_tbl, carry.trig + 1, n)
-        phase = ramp_out + resid_u + d_total * mu
-        carrier = jnp.cos(p.nco_scale * phase + p.phase_adjust)
+
+        if p.nco_scale == 2.0 and p.phase_adjust == 0.0:
+            # DOUBLE-ANGLE fast path (the stereo 19->38 kHz carrier):
+            # cos(2*(ramp + resid_u + D*mu)) is invariant under the 2*pi*k
+            # unwrap shift, so the residual enters only through
+            # cos/sin(2*resid_w) — pure algebra on the unit vector
+            # (zr, zi)/|z|, NO prefix-sum unwrap and NO length-n cosine.
+            # The last-sample carry still needs the unwrap LEVEL, which is
+            # just carry.resid + sum(d) — a plain reduction.
+            r2 = zr * zr + zi * zi
+            safe = jnp.where(r2 > 0.0, r2, 1.0)
+            cos2r = jnp.where(r2 > 0.0, (zr * zr - zi * zi) / safe, 1.0)
+            sin2r = jnp.where(r2 > 0.0, 2.0 * zr * zi / safe, 0.0)
+            two_mu = 2.0 * d_total * mu
+            cm, sm_ = jnp.cos(two_mu), jnp.sin(two_mu)   # per-block scalars
+            cb = cos2r * cm - sin2r * sm_                # cos 2(resid+Dmu)
+            sb = sin2r * cm + cos2r * sm_
+            c2 = self._rolled_table(jnp.cos(2.0 * angle_tbl),
+                                    carry.trig + 1, n)
+            s2 = self._rolled_table(jnp.sin(2.0 * angle_tbl),
+                                    carry.trig + 1, n)
+            carrier = c2 * cb - s2 * sb
+            resid_last = carry.resid + jnp.sum(d, axis=-1)
+        else:
+            # general path (e.g. the RDS 114->57 kHz half-angle carrier,
+            # nco_scale 0.5, where the 2*pi*k unwrap parity flips the
+            # carrier sign and the full unwrap is load-bearing): inclusive
+            # prefix sum of the wrapped deltas via MXU matmuls, NOT
+            # jnp.cumsum (whose reduce_window lowering was the most
+            # expensive kernel in the whole receiver graph; ops/prefix.py)
+            resid_u = carry.resid[..., None] + prefix_sum(d)
+            ramp_out = self._rolled_table(angle_tbl, carry.trig + 1, n)
+            phase = ramp_out + resid_u + d_total * mu
+            carrier = jnp.cos(p.nco_scale * phase + p.phase_adjust)
+            resid_last = resid_u[..., -1]
 
         new = FFSyncCarry(
             in_tail=in_tail,
             trig=(carry.trig + n) % p.period,
-            resid=jnp.mod(resid_u[..., -1], _FOUR_PI))
+            resid=jnp.mod(resid_last, _FOUR_PI))
         return carrier, new
