@@ -430,16 +430,18 @@ def main() -> None:
         # compiles) — so a low non-flagship x-realtime number can be judged
         # against ITS OWN floor (modes 1/3 carry less signal per block;
         # measured matrix: experiments/mode_floors.py + BENCH_NOTES)
-        print("# per-mode speed-of-light ceilings (stereo+RDS, tier 3):",
+        print(f"# per-mode speed-of-light ceilings (stereo"
+              f"{'' if args.no_rds else '+RDS'}, tier {args.pll_tier}):",
               file=sys.stderr)
-        for m in (0, 1, 2, 3):
-            rxm = rx if m == args.mode else Receiver(m, stereo=True,
-                                                     rds=not args.no_rds,
-                                                     pll_tier=args.pll_tier)
-            sol = speed_of_light_report(rxm, file=open(os.devnull, "w"))
-            print(f"#   mode {m}: floor {sol['floor_s']*1e6:6.2f} us/block"
-                  f" -> ceiling {sol['ceiling_x']:,.0f}x realtime/channel",
-                  file=sys.stderr)
+        with open(os.devnull, "w") as devnull:
+            for m in (0, 1, 2, 3):
+                rxm = rx if m == args.mode else Receiver(
+                    m, stereo=True, rds=not args.no_rds,
+                    pll_tier=args.pll_tier)
+                sol = speed_of_light_report(rxm, file=devnull)
+                print(f"#   mode {m}: floor {sol['floor_s']*1e6:6.2f} "
+                      f"us/block -> ceiling {sol['ceiling_x']:,.0f}x "
+                      f"realtime/channel", file=sys.stderr)
 
     # harvest (or retire) the still-running insurance child before emitting
     if ins_proc is not None and ins_proc.poll() is None and _result is None:

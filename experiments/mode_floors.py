@@ -53,7 +53,8 @@ def main() -> None:
         rx = Receiver(mode, stereo=True, rds=True, pll_tier=3)
         cfg = rx.cfg
         budget = cfg.block_size_iq / cfg.rf_fs
-        sol = speed_of_light_report(rx, file=open(os.devnull, "w"))
+        with open(os.devnull, "w") as devnull:
+            sol = speed_of_light_report(rx, file=devnull)
         n_len = n_blk * 2 * cfg.block_size_iq
         iq, _ = synth.station_iq(cfg, n_blk)
         seg = benchkit.shifted_channel_segments(iq, n_ch, n_len)

@@ -180,6 +180,10 @@ def run_wideband(args, rx, cfg) -> int:
             print(f"resumed state from {args.checkpoint}", file=sys.stderr)
         except FileNotFoundError:
             pass
+        except Exception as e:  # shape-incompatible (e.g. older release's
+            # state layout) or corrupt npz: never fatal, start fresh
+            print(f"warning: could not resume DSP state ({e!r}); "
+                  "starting fresh", file=sys.stderr)
         if framers is not None:
             try:
                 with open(args.checkpoint + ".rds.json") as f:
@@ -241,15 +245,23 @@ def run_wideband(args, rx, cfg) -> int:
                         framers[k].feed(bitsk[bi][:nbk[bi]])
 
     while True:
-        t0 = time.perf_counter()
         # --segment G: channelize + decode G wideband blocks per device
         # call (one graph, G fewer RPCs — same serving shape as the
         # station bank; the trailing partial segment shrinks to what the
-        # pipe delivered, at worst one extra compile at stream end)
-        buf = fin.read(seg_n * 2 * block_pairs)
+        # pipe delivered, at worst one extra compile at stream end).
+        # Clamp to --max-blocks so segment mode does not overshoot, and
+        # keep the blocking pipe read OUT of the timed span (a paced live
+        # source would otherwise be misreported as barely real-time).
+        want = seg_n
+        if args.max_blocks:
+            want = min(want, args.max_blocks - n_blocks)
+            if want <= 0:
+                break
+        buf = fin.read(want * 2 * block_pairs)
         nb_got = 0 if buf is None else len(buf) // (2 * block_pairs)
         if not nb_got:
             break
+        t0 = time.perf_counter()
         x = (np.frombuffer(buf[:nb_got * 2 * block_pairs], dtype=np.uint8)
              .astype(np.float32) - 128.0) / 128.0
         (i_ds, q_ds), cstate = ch(jnp.asarray(x[0::2]), jnp.asarray(x[1::2]),
@@ -342,6 +354,10 @@ def main(argv=None) -> int:
             print(f"resumed state from {args.checkpoint}", file=sys.stderr)
         except FileNotFoundError:
             pass
+        except Exception as e:  # shape-incompatible (e.g. older release's
+            # state layout) or corrupt npz: never fatal, start fresh
+            print(f"warning: could not resume DSP state ({e!r}); "
+                  "starting fresh", file=sys.stderr)
 
     print(f"output: {int(cfg.audio_fs)} Hz s16le "
           f"{'stereo' if stereo else 'mono'}  (play with: aplay -r "

@@ -260,3 +260,18 @@ def test_cli_segment_serving_identical(station_file):
 
     assert rds_lines(rg) == rds_lines(r1)  # identical decode trail
     assert rds_lines(rg), "no RDS events decoded in either mode"
+
+
+def test_cli_incompatible_checkpoint_starts_fresh(station_file, tmp_path):
+    """A checkpoint from an older state layout (or a corrupt npz) must warn
+    and start fresh, not crash the stream (carried-state pytrees may gain
+    or lose leaves across releases — e.g. the tier-3 sync collapse)."""
+    path, truth, cfg = station_file
+    ckpt = tmp_path / "state.npz"
+    np.savez(ckpt, bogus=np.zeros(3, np.float32))
+    r = run_cli(["0", "m", "--max-blocks", "3", "--checkpoint", str(ckpt)],
+                path)
+    assert r.returncode == 0
+    assert b"starting fresh" in r.stderr
+    pcm = np.frombuffer(r.stdout, dtype="<i2")
+    assert len(pcm) == 3 * cfg.audio_block
