@@ -1,0 +1,122 @@
+"""North-star configs[4]: 64+ FM stations channelized + fully demodulated
+in parallel from ONE wideband capture (BASELINE.md).
+
+One 19.2 MS/s complex capture (8x the mode-0 station rate) carries 64
+stations on a 300 kHz raster; the periodic-exact channelizer mixes and
+decimates all of them in one graph (tone tables are (64, lcm<=192)
+statics — the naive per-sample tables would need multi-GB at segment
+lengths) and the 64-wide channel bank decodes stereo+RDS for every
+station. Reports ms/block and x-realtime on the WIDEBAND input rate.
+
+Usage: python experiments/wideband64.py [--stations 64] [--seg 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stations", type=int, default=64)
+    ap.add_argument("--seg", type=int, default=4,
+                    help="wideband blocks per device call")
+    ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--decode-check", action="store_true",
+                    help="also synthesize 3 real stations in the scene and "
+                         "assert their PS decode (slow: host-side synth)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from real_time_sdr_tpu.models.channelizer import Channelizer
+    from real_time_sdr_tpu.models.receiver import Receiver
+    from real_time_sdr_tpu.parallel.channel import ChannelBank
+    from real_time_sdr_tpu.utils import synth
+
+    rx = Receiver(0, stereo=True, rds=True, pll_tier=3)
+    cfg = rx.cfg
+    wide_fs = 8 * cfg.rf_fs                     # 19.2 MS/s
+    n_st = args.stations
+    # 300 kHz raster centered on DC - fits 64 stations in ~19.2 MHz with
+    # filter margin; integer offsets keep the periodic-exact tone mode
+    offs = [int((k - (n_st - 1) / 2) * 300_000) for k in range(n_st)]
+    ch = Channelizer(cfg, wide_fs, offs)
+    assert ch.tone_period, "expected the periodic-exact tone mode"
+    print(f"# tone mode: periodic-exact, lcm period {ch.tone_period}",
+          file=sys.stderr)
+    bank = ChannelBank(rx, n_st)
+
+    block_pairs = cfg.block_size_iq * ch.decim
+    n = args.seg * block_pairs
+    rng = np.random.default_rng(0)
+    iw = jnp.asarray(rng.standard_normal((n,)).astype(np.float32) * 0.1)
+    qw = jnp.asarray(rng.standard_normal((n,)).astype(np.float32) * 0.1)
+
+    def step(cstate, bstate, i, q):
+        (i_ds, q_ds), cstate = ch(i, q, cstate)
+        bstate, out = bank.run_segment(bstate, ch.to_uint8(i_ds, q_ds))
+        sums = [jnp.sum(o if o.dtype != jnp.int32 else o.astype(jnp.float32))
+                for o in jax.tree_util.tree_leaves(out)]
+        return cstate, bstate, sum(sums)
+
+    jstep = jax.jit(step)
+    cs, bs = ch.init_state(), rx.init_state(batch=(n_st,))
+    t0 = time.perf_counter()
+    c2, b2, dig = jstep(cs, bs, iw, qw)
+    float(np.asarray(dig))
+    print(f"# compile+first: {time.perf_counter()-t0:.1f} s",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    c, b = cs, bs
+    for _ in range(args.reps):
+        c, b, dig = jstep(c, b, iw, qw)
+    float(np.asarray(dig))
+    per_block = (time.perf_counter() - t0) / args.reps / args.seg
+    wb_ms = block_pairs / per_block / 1e6
+    print(f"# {n_st} stations from one {wide_fs/1e6:g} MS/s capture "
+          f"({args.seg}-block segments): {per_block*1e3:.2f} ms/block, "
+          f"{wb_ms:.0f} MS/s wideband = {wb_ms/(wide_fs/1e6):.1f}x realtime"
+          f" ({n_st * cfg.rf_fs / 1e6:g} MS/s of station IQ decoded)",
+          file=sys.stderr)
+
+    if args.decode_check:
+        picks = [3, n_st // 2, n_st - 2]
+        scene = [dict(offset_hz=offs[k], ps_name=f"WB64-{k:03d}"[:8],
+                      pi=0x1000 + k, pty=4) for k in picks]
+        nb = 26
+        iw2, qw2, truths = synth.wideband_iq(cfg, wide_fs, scene, nb)
+        cs, bs = ch.init_state(), rx.init_state(batch=(n_st,))
+        from real_time_sdr_tpu.models.rds_framing import RdsFramer
+        framers = {k: RdsFramer() for k in picks}
+        for s0 in range(0, nb, args.seg):
+            blks = min(args.seg, nb - s0)
+            sl = slice(s0 * block_pairs, (s0 + blks) * block_pairs)
+            (i_ds, q_ds), cs = ch(jnp.asarray(iw2[sl]), jnp.asarray(qw2[sl]),
+                                  cs)
+            bs, out = bank.run_segment(bs, ch.to_uint8(i_ds, q_ds))
+            nbits = np.asarray(out.rds_nbits)
+            bits = np.asarray(out.rds_bits)
+            for k in picks:
+                for bi in range(nbits.shape[1]):
+                    if nbits[k, bi] > 0:
+                        framers[k].feed(bits[k, bi][:nbits[k, bi]])
+        for k in picks:
+            ev = framers[k].events
+            print(f"# station {k} @ {offs[k]/1e6:+.1f} MHz: "
+                  f"PS={ev.ps_name!r} PI={ev.pi:#06x} "
+                  f"groups={ev.groups_decoded}", file=sys.stderr)
+            assert ev.ps_name == f"WB64-{k:03d}"[:8], (k, ev.ps_name)
+        print("# decode check OK (3/3 stations)", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -9,13 +9,22 @@ parallel" configuration of the project north star.
 Per station: complex mix by the offset tone, then low-pass + decimate both
 rails with the framed-matmul FIR (batched over stations).
 
-Mixer exactness: the per-sample tone table exp(-2*pi*j*(f*k mod fs)/fs) is
+Mixer exactness: the per-sample tone exp(-2*pi*j*(f*k mod fs)/fs) is
 computed on the host with arbitrary-precision integer phase reduction (a
-device-side f*k product overflows int32 by orders of magnitude) and cached
-as a device constant per segment length; cross-segment phase continuity is
-carried as a unit phasor advanced by the per-segment rotation (computed in
-f64 on the host, then stored/multiplied in f32 on device — so continuity is
-accurate to f32, ~1e-7 rad/segment, not bit-exact) and renormalized.
+device-side f*k product overflows int32 by orders of magnitude).
+
+Two tone mechanisms, picked automatically:
+
+- PERIODIC (real station grids): every integer offset f has tone period
+  fs/gcd(f, fs); on a 100 kHz raster at 19.2 MS/s that's <= 192 samples.
+  When lcm(periods) <= 65536 the tones are (S, lcm) STATIC tables cycled
+  by ONE carried integer position (all stations advance in lockstep) —
+  one scalar dynamic_slice + tile per segment, so memory is O(S * lcm)
+  instead of O(S * n) (64 stations x 12-block segments would otherwise
+  need multi-GB tables) and cross-segment continuity is integer-EXACT.
+- GENERAL (pathological offsets): full-length cached tables + a carried
+  unit phasor advanced by the per-segment rotation (f32 continuity,
+  ~1e-7 rad/segment, renormalized).
 """
 
 from __future__ import annotations
@@ -34,8 +43,9 @@ from real_time_sdr_tpu.ops.fir import PolyFIR
 class ChannelizerState(NamedTuple):
     i_tails: jax.Array   # (S, T-1) per-station decimator tails
     q_tails: jax.Array
-    ph_re: jax.Array     # (S,) carried tone phasor (segment continuity)
-    ph_im: jax.Array
+    ph_re: jax.Array     # (S,) carried tone phasor (general mode; unused —
+    ph_im: jax.Array     # held at (1, 0) — in periodic mode)
+    pos: jax.Array       # () int32 table position mod lcm (periodic mode)
 
 
 class Channelizer:
@@ -57,6 +67,24 @@ class Channelizer:
         h = filters.design_lpf(self.wide_fs, cfg.rf_fs / 2 * 0.8, taps)
         self.fir = PolyFIR(h, up=1, down=self.decim)
         self._tone_cache: dict[int, tuple] = {}
+        # periodic-exact tone mode (see module docstring)
+        import math as _math
+        pers = [self.wide_fs // _math.gcd(f % self.wide_fs, self.wide_fs)
+                if f % self.wide_fs else 1 for f in self.offsets]
+        lcm = 1
+        for q in pers:
+            lcm = lcm * q // _math.gcd(lcm, q)
+            if lcm > 65536:
+                break
+        self.tone_period = lcm if lcm <= 65536 else 0
+        if self.tone_period:
+            p, L = self.wide_fs, self.tone_period
+            k = np.arange(L, dtype=np.int64)
+            ang = np.stack([-2.0 * np.pi
+                            * (((f % p) * k) % p).astype(np.float64) / p
+                            for f in self.offsets])
+            self._per_c = jnp.asarray(np.cos(ang).astype(np.float32))
+            self._per_s = jnp.asarray(np.sin(ang).astype(np.float32))
 
     def _tones(self, n: int):
         """Exact (S, n) float32 cos/sin tables of -2*pi*f*k/fs, plus the
@@ -87,7 +115,22 @@ class Channelizer:
         s = len(self.offsets)
         t = jnp.zeros((s, self.fir.tail_len), jnp.float32)
         return ChannelizerState(t, t, jnp.ones((s,), jnp.float32),
-                                jnp.zeros((s,), jnp.float32))
+                                jnp.zeros((s,), jnp.float32),
+                                jnp.zeros((), jnp.int32))
+
+    def _periodic_tones(self, n: int, pos: jax.Array):
+        """(S, n) tone tables cycled from the carried integer position:
+        tone[s, k] = T[s, (pos + k) mod L] — one scalar dynamic_slice of
+        the doubled static tables + tile, exact and O(S*L) memory."""
+        L = self.tone_period
+
+        def roll_tile(tbl):
+            doubled = jnp.concatenate([tbl, tbl], axis=-1)
+            rolled = jax.lax.dynamic_slice_in_dim(doubled, pos % L, L,
+                                                  axis=-1)
+            return jnp.tile(rolled, (1, -(-n // L)))[:, :n]
+
+        return roll_tile(self._per_c), roll_tile(self._per_s)
 
     def __call__(self, i_wide: jax.Array, q_wide: jax.Array,
                  state: ChannelizerState):
@@ -95,10 +138,13 @@ class Channelizer:
 
         Returns ((S, N//decim) i/q station basebands, new state)."""
         n = i_wide.shape[-1]
-        tone_c, tone_s, rot_re, rot_im = self._tones(n)
-        # effective tone = table * carried phasor (complex multiply)
-        c = tone_c * state.ph_re[:, None] - tone_s * state.ph_im[:, None]
-        s_ = tone_s * state.ph_re[:, None] + tone_c * state.ph_im[:, None]
+        if self.tone_period:
+            c, s_ = self._periodic_tones(n, state.pos)
+        else:
+            tone_c, tone_s, rot_re, rot_im = self._tones(n)
+            # effective tone = table * carried phasor (complex multiply)
+            c = tone_c * state.ph_re[:, None] - tone_s * state.ph_im[:, None]
+            s_ = tone_s * state.ph_re[:, None] + tone_c * state.ph_im[:, None]
         # (i + jq) * (c + j s_): downshift by +offset
         mi = i_wide[None, :] * c - q_wide[None, :] * s_
         mq = q_wide[None, :] * c + i_wide[None, :] * s_
@@ -109,11 +155,17 @@ class Channelizer:
             jnp.concatenate([state.i_tails, state.q_tails], axis=0))
         i_ds, q_ds = ds[:s_ch], ds[s_ch:]
         i_tails, q_tails = tails[:s_ch], tails[s_ch:]
-        # advance + renormalize the continuity phasor
-        pr = state.ph_re * rot_re - state.ph_im * rot_im
-        pi_ = state.ph_re * rot_im + state.ph_im * rot_re
-        norm = jax.lax.rsqrt(pr * pr + pi_ * pi_)
-        new = ChannelizerState(i_tails, q_tails, pr * norm, pi_ * norm)
+        if self.tone_period:
+            new = ChannelizerState(i_tails, q_tails, state.ph_re,
+                                   state.ph_im,
+                                   (state.pos + n) % self.tone_period)
+        else:
+            # advance + renormalize the continuity phasor
+            pr = state.ph_re * rot_re - state.ph_im * rot_im
+            pi_ = state.ph_re * rot_im + state.ph_im * rot_re
+            norm = jax.lax.rsqrt(pr * pr + pi_ * pi_)
+            new = ChannelizerState(i_tails, q_tails, pr * norm, pi_ * norm,
+                                   state.pos)
         return (i_ds, q_ds), new
 
     def to_uint8(self, i_ds: jax.Array, q_ds: jax.Array) -> jax.Array:

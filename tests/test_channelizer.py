@@ -90,3 +90,34 @@ def test_adjacent_channel_interferer():
                 framer.feed(bits[b][:nbs[b]])
         assert framer.events.ps_name == truth["ps_name"], f"station {s_idx}"
         assert framer.events.pi == truth["pi"]
+
+
+def test_periodic_tone_mode_matches_general():
+    """Integer station grids select the periodic-exact tone mode (static
+    (S, lcm) tables + ONE carried integer position, O(S*lcm) memory);
+    its mixed/decimated output must match the general full-table+phasor
+    mechanism, including across segment boundaries where the periodic
+    carry is integer-exact."""
+    rx = Receiver(0, stereo=False, rds=False)
+    cfg = rx.cfg
+    wide_fs = 4 * cfg.rf_fs
+    offs = [-1_700_000, 300_000, 2_300_000]  # 100 kHz raster
+    ch_p = Channelizer(cfg, wide_fs, offs)
+    assert ch_p.tone_period and ch_p.tone_period <= 96, ch_p.tone_period
+    ch_g = Channelizer(cfg, wide_fs, offs)
+    ch_g.tone_period = 0  # force the general phasor path
+
+    rng = np.random.default_rng(5)
+    n = 2 * cfg.block_size_iq * ch_p.decim
+    iw = jnp.asarray(rng.standard_normal((n,)).astype(np.float32) * 0.3)
+    qw = jnp.asarray(rng.standard_normal((n,)).astype(np.float32) * 0.3)
+
+    sp, sg = ch_p.init_state(), ch_g.init_state()
+    for seg in (slice(0, n // 2), slice(n // 2, n)):
+        (ip, qp), sp = ch_p(iw[seg], qw[seg], sp)
+        (ig, qg), sg = ch_g(iw[seg], qw[seg], sg)
+        for a, b in ((ip, ig), (qp, qg)):
+            a, b = np.asarray(a), np.asarray(b)
+            snr = 10 * np.log10(np.mean(b ** 2) /
+                                (np.mean((a - b) ** 2) + 1e-30))
+            assert snr > 110, f"{seg}: {snr:.1f} dB"
