@@ -65,7 +65,12 @@ class Channelizer:
         self.offsets = [int(f) for f in offsets_hz]
         taps = cfg.rf_taps * taps_factor + 1
         h = filters.design_lpf(self.wide_fs, cfg.rf_fs / 2 * 0.8, taps)
-        self.fir = PolyFIR(h, up=1, down=self.decim)
+        # own barrier tag: a SINGLE FIR stage fed by elementwise mixing
+        # (not the chained-FIR pattern the "polyfir" barrier guards), so
+        # its fusion behaviour is A/B-able independently (RTSDR_NO_BARRIER
+        # =chan) — the barrier materializes (2S, n_wide) f32 stage inputs
+        # that dominate wideband serving at large S
+        self.fir = PolyFIR(h, up=1, down=self.decim, barrier_tag="chan")
         self._tone_cache: dict[int, tuple] = {}
         # periodic-exact tone mode (see module docstring)
         import math as _math

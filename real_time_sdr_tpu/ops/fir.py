@@ -63,12 +63,15 @@ _NO_BARRIER = frozenset(
 _FORCE_BARRIER = frozenset(
     t.strip() for t in os.environ.get("RTSDR_BARRIER", "").split(",")
     if t.strip())
-_DEFAULT_OFF = frozenset(("dualphase", "frontend"))
+_DEFAULT_OFF = frozenset(("dualphase", "frontend", "chan"))
+# "chan" (the channelizer's single wideband FIR stage): barrier-free is
+# ~3% faster at 64 stations with identical compile time (2026-08-19 A/B);
+# it is not part of the chained-FIR pattern the polyfir barrier guards.
 # The canonical universe of barrier tags. Experiments that force/drop sites
 # (experiments/barrier_ab.py) import this so "baseline = all barriers" stays
 # true when a new site is added.
 ALL_BARRIER_TAGS = frozenset(("pll", "polyfir", "shared", "frontend",
-                              "dualphase"))
+                              "dualphase", "chan"))
 
 
 def barrier(x, tag: str):
@@ -103,11 +106,12 @@ class PolyFIR:
     """
 
     def __init__(self, h: np.ndarray, up: int = 1, down: int = 1,
-                 target_frame: int = 128):
+                 target_frame: int = 128, barrier_tag: str = "polyfir"):
         h = np.asarray(h, dtype=np.float64)
         assert h.ndim == 1
         self.up = int(up)
         self.down = int(down)
+        self.barrier_tag = barrier_tag  # per-site A/B (ALL_BARRIER_TAGS)
         self.num_taps = K = h.shape[0]
         self.T = -(-K // up)  # input samples touched per output
         self._h = h
@@ -180,7 +184,7 @@ class PolyFIR:
         # The single-tap (pure delay) path builds no frames — it lowers to a
         # slice — so it stays barrier-free and fuses into its consumer.
         if not self._single_tap:
-            xx = barrier(xx, "polyfir")
+            xx = barrier(xx, self.barrier_tag)
         if self._single_tap:
             # pure delay of (K-1-tap_pos)... reference indexing: y[n] =
             # h[pos] * xx[T-1 + n - pos]
