@@ -151,7 +151,7 @@ class FusedFrontendFIR:
         self.interpret = bool(interpret)
         self._h = h
         self.dprime = 2 * self.down
-        self.g = _G
+        self.g = int(os.environ.get("RTSDR_FRONTEND_G", str(_G)))
         self.stride = self.g * self.dprime
         assert self.stride % 128 == 0, (down, self.stride)
         j_used = (self.g - 1) * self.dprime + 2 * K
