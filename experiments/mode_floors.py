@@ -33,17 +33,13 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from real_time_sdr_tpu.models.receiver import Receiver
     from real_time_sdr_tpu.utils import benchkit, synth
     from real_time_sdr_tpu.utils.logging import speed_of_light_report
 
-    bump = jax.jit(lambda x: x + 1)
-    tiny = bump(jnp.zeros((8,), jnp.float32))
-    float(np.asarray(tiny)[0])
-    rt_floor = min(_time_fetch(bump, tiny, np) for _ in range(5))
+    rt_floor = benchkit.tunnel_rt_floor()
     print(f"# tunnel round-trip floor: {rt_floor*1e3:.1f} ms",
           file=sys.stderr, flush=True)
 
@@ -92,11 +88,6 @@ def main() -> None:
               file=sys.stderr, flush=True)
     print(json.dumps(results, indent=1))
 
-
-def _time_fetch(bump, tiny, np):
-    t0 = time.perf_counter()
-    float(np.asarray(bump(tiny))[0])
-    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":

@@ -29,7 +29,6 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from real_time_sdr_tpu.models.receiver import Receiver
@@ -38,18 +37,9 @@ def main() -> None:
 
     HBM_GBPS = V5E_HBM_BPS / 1e9
 
-    # Measure the host<->device round-trip floor once (the axon tunnel adds
-    # ~40-60 ms per sync, CLAUDE.md); subtract it from each timed span so
-    # the absolute us_per_blk_ch / pct_of_floor numbers aren't biased ~3%.
-    bump = jax.jit(lambda x: x + 1)  # jit ONCE: a fresh jit per call would
-    tiny = bump(jnp.zeros((8,), jnp.float32))  # time re-tracing, not the RPC
-    float(np.asarray(tiny)[0])  # compile + first fetch
-    rt = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(np.asarray(bump(tiny))[0])
-        rt.append(time.perf_counter() - t0)
-    rt_floor = min(rt)
+    # Subtract the measured host<->device round-trip floor from each timed
+    # span so absolute us_per_blk_ch / pct_of_floor aren't biased ~3%.
+    rt_floor = benchkit.tunnel_rt_floor()
     print(f"# tunnel round-trip floor: {rt_floor*1e3:.1f} ms",
           file=sys.stderr, flush=True)
 

@@ -472,15 +472,15 @@ def main(argv=None) -> int:
         batched = sustained real time; experiments/e2e_latency.py)."""
         nonlocal n_blocks
         take = [in_flight.popleft() for _ in range(k)]
-        # only entries that will actually emit a --monitor snapshot ship
-        # their (larger) RRC output through the fetch
-        ev = max(1, args.monitor_every)
-        needs, base = [], n_blocks
-        for _, _o, _, g in take:
-            needs.append(bool(args.monitor) and rds
-                         and any((base + j + 1) % ev == 0 for j in range(g)))
-            base += g
         if framer is not None:
+            # only entries that will actually emit a --monitor snapshot
+            # ship their (larger) RRC output through the fetch
+            ev = max(1, args.monitor_every)
+            needs, base = [], n_blocks
+            for _, _o, _, g in take:
+                needs.append(bool(args.monitor) and rds and any(
+                    (base + j + 1) % ev == 0 for j in range(g)))
+                base += g
             fetched = jax.device_get(
                 [(p_, o.rds_nbits, o.rds_bits,
                   o.rds_clean if need else None)

@@ -47,3 +47,27 @@ def shifted_channel_segments(iq, n_ch: int, n_len: int):
                          jnp.int32)
     return jax.jit(jax.vmap(
         lambda s: jax.lax.dynamic_slice(base2, (s,), (n_len,))))(shifts)
+
+
+def tunnel_rt_floor(reps: int = 5) -> float:
+    """Measured host<->device round-trip floor in seconds (min of reps).
+
+    The axon tunnel adds ~40-60 ms per sync (CLAUDE.md); experiments
+    subtract this from timed spans so absolute per-block numbers are not
+    biased by the fetch. One jitted bump reused across probes — a fresh
+    jit per call would time re-tracing, not the RPC."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    bump = jax.jit(lambda x: x + 1)
+    tiny = bump(jnp.zeros((8,), jnp.float32))
+    float(np.asarray(tiny)[0])  # compile + first fetch
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(np.asarray(bump(tiny))[0])
+        best = min(best, time.perf_counter() - t0)
+    return best
