@@ -116,6 +116,7 @@ def main() -> None:
         return
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.append(repo)  # the parent also imports the tag universe
     want = set(args.only.split(",")) if args.only else None
     results = {}
     for name, no_barrier in CONFIGS:

@@ -29,6 +29,7 @@ Two tone mechanisms, picked automatically:
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -69,8 +70,18 @@ class Channelizer:
         # (not the chained-FIR pattern the "polyfir" barrier guards), so
         # its fusion behaviour is A/B-able independently (RTSDR_NO_BARRIER
         # =chan) — the barrier materializes (2S, n_wide) f32 stage inputs
-        # that dominate wideband serving at large S
-        self.fir = PolyFIR(h, up=1, down=self.decim, barrier_tag="chan")
+        # that dominate wideband serving at large S.
+        # On TPU this stage defaults to a single native-MXU bf16 pass: its
+        # consumer re-encodes to uint8 (to_uint8, ~-49 dB quantization), a
+        # harder floor than bf16's ~-54 dB, so full f32 precision buys
+        # nothing — measured -34% on the 64-station pipeline with every
+        # decode gate green, incl. the +20 dB adjacent-channel interferer
+        # (BENCH_NOTES). RTSDR_CHAN_FIR=f32|bf16 overrides.
+        dflt = ("bf16" if jax.default_backend() in ("tpu", "axon")
+                else "f32")
+        self.fir = PolyFIR(h, up=1, down=self.decim, barrier_tag="chan",
+                           compute_dtype=os.environ.get("RTSDR_CHAN_FIR",
+                                                        dflt))
         self._tone_cache: dict[int, tuple] = {}
         # periodic-exact tone mode (see module docstring)
         import math as _math

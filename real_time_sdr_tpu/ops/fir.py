@@ -50,13 +50,15 @@ __all__ = ["PolyFIR", "state_len", "init_state", "make_bank", "barrier"]
 # RTSDR_NO_BARRIER=all (there is no RTSDR_BARRIER=all); unset both to get
 # the measured defaults.
 #
-# Defaults (v5e A/B, 2026-08-19 sweep, digests byte-identical throughout):
-# the FRONTEND sites ("dualphase"/"frontend") ship barrier-free — removing
-# them is a repeatable +1.7% (3226x vs 3172x at 32ch x 12blk; spread <0.2%
-# across runs) for ~2x frontend-stage compile (10-19 s, still seconds).
-# Every other FIR-site + PLL barrier stays: individually they are ties
-# within noise, and removing the polyfir+shared set together reproduces
-# the XLA fusion-search compile explosion (>480 s; BENCH_NOTES.md).
+# Defaults (v5e A/B sweeps, 2026-08-19, digests byte-identical throughout):
+# the FRONTEND sites ("dualphase"/"frontend") and the channelizer's "chan"
+# site ship barrier-free (repeatable wins). The remaining FIR-site + PLL
+# barriers stay conservatively: the late-round re-sweep found the historic
+# fusion-search compile explosion GONE on the restructured graph (no-all
+# compiles in ~10 s and runs +0.8%, within day-to-day noise), but the
+# explosion was graph-shape-dependent and sub-1% is not worth the risk of
+# reintroducing it on untested shapes. Re-sweep after structural changes
+# (experiments/barrier_ab.py).
 _NO_BARRIER = frozenset(
     t.strip() for t in os.environ.get("RTSDR_NO_BARRIER", "").split(",")
     if t.strip())
@@ -106,12 +108,19 @@ class PolyFIR:
     """
 
     def __init__(self, h: np.ndarray, up: int = 1, down: int = 1,
-                 target_frame: int = 128, barrier_tag: str = "polyfir"):
+                 target_frame: int = 128, barrier_tag: str = "polyfir",
+                 compute_dtype: str = "f32"):
         h = np.asarray(h, dtype=np.float64)
         assert h.ndim == 1
         self.up = int(up)
         self.down = int(down)
         self.barrier_tag = barrier_tag  # per-site A/B (ALL_BARRIER_TAGS)
+        # "bf16": single native-MXU pass (frames+taps bf16, f32 accumulate,
+        # ~8-bit mantissa). ONLY for stages whose consumer quantizes harder
+        # than bf16 anyway (the channelizer feeds uint8 re-encode) — every
+        # full-precision DSP stage must stay f32 HIGHEST (CLAUDE.md rule).
+        assert compute_dtype in ("f32", "bf16"), compute_dtype
+        self.compute_dtype = compute_dtype
         self.num_taps = K = h.shape[0]
         self.T = -(-K // up)  # input samples touched per output
         self._h = h
@@ -202,9 +211,15 @@ class PolyFIR:
             # window for frame c spans rows c .. c+s_over-1
             parts = [rows[..., s:s + c_frames, :] for s in range(s_over)]
             frames = jnp.concatenate(parts, axis=-1)[..., :J]
-            y = jnp.einsum("...cj,jr->...cr", frames,
-                           jnp.asarray(W, dtype=frames.dtype),
-                           precision=jax.lax.Precision.HIGHEST)
+            if self.compute_dtype == "bf16":
+                y = jnp.einsum("...cj,jr->...cr",
+                               frames.astype(jnp.bfloat16),
+                               jnp.asarray(W, dtype=jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
+            else:
+                y = jnp.einsum("...cj,jr->...cr", frames,
+                               jnp.asarray(W, dtype=frames.dtype),
+                               precision=jax.lax.Precision.HIGHEST)
             y = y.reshape(y.shape[:-2] + (-1,))[..., :n_out]
         new_tail = (xx[..., xx.shape[-1] - self.tail_len:]
                     if self.tail_len else xx[..., :0])
