@@ -161,9 +161,15 @@ class Channelizer:
             # effective tone = table * carried phasor (complex multiply)
             c = tone_c * state.ph_re[:, None] - tone_s * state.ph_im[:, None]
             s_ = tone_s * state.ph_re[:, None] + tone_c * state.ph_im[:, None]
-        # (i + jq) * (c + j s_): downshift by +offset
+        # (i + jq) * (c + j s_): downshift by +offset. In the bf16-FIR
+        # mode the mixed rails are emitted bf16 — they are the dominant
+        # (2S, n_wide) HBM arrays of the whole wideband pipeline and feed
+        # a bf16 matmul anyway
         mi = i_wide[None, :] * c - q_wide[None, :] * s_
         mq = q_wide[None, :] * c + i_wide[None, :] * s_
+        if self.fir.compute_dtype == "bf16":
+            mi = mi.astype(jnp.bfloat16)
+            mq = mq.astype(jnp.bfloat16)
         # both rails through ONE framed-matmul dispatch (stays 2-D per call)
         s_ch = len(self.offsets)
         ds, tails = self.fir(

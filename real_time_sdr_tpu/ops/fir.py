@@ -185,7 +185,14 @@ class PolyFIR:
 
         Returns (y, new_tail) with y: (..., N*up//down)."""
         n = x.shape[-1]
-        xx = jnp.concatenate([tail, x.astype(tail.dtype)], axis=-1)
+        if self.compute_dtype == "bf16":
+            # the whole stage input rides bf16 (half the HBM traffic of the
+            # dominant wideband arrays); carried tails stay f32 in the state
+            # pytree (npz round-trip, CLAUDE.md) and cast on entry/exit
+            xx = jnp.concatenate([tail.astype(jnp.bfloat16),
+                                  x.astype(jnp.bfloat16)], axis=-1)
+        else:
+            xx = jnp.concatenate([tail, x.astype(tail.dtype)], axis=-1)
         # Materialize the stage input: without this, XLA's fusion search over
         # chained frame-construction patterns (pad/reshape/slice/concat from
         # consecutive FIR stages) explodes both compile time (>15 min) and
@@ -212,8 +219,7 @@ class PolyFIR:
             parts = [rows[..., s:s + c_frames, :] for s in range(s_over)]
             frames = jnp.concatenate(parts, axis=-1)[..., :J]
             if self.compute_dtype == "bf16":
-                y = jnp.einsum("...cj,jr->...cr",
-                               frames.astype(jnp.bfloat16),
+                y = jnp.einsum("...cj,jr->...cr", frames,
                                jnp.asarray(W, dtype=jnp.bfloat16),
                                preferred_element_type=jnp.float32)
             else:
@@ -223,6 +229,8 @@ class PolyFIR:
             y = y.reshape(y.shape[:-2] + (-1,))[..., :n_out]
         new_tail = (xx[..., xx.shape[-1] - self.tail_len:]
                     if self.tail_len else xx[..., :0])
+        if new_tail.dtype != tail.dtype:
+            new_tail = new_tail.astype(tail.dtype)
         return y, new_tail
 
 
