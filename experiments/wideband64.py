@@ -89,7 +89,7 @@ def main() -> None:
           file=sys.stderr)
 
     if args.decode_check:
-        picks = [3, n_st // 2, n_st - 2]
+        picks = sorted({min(3, n_st - 1), n_st // 2, max(n_st - 2, 0)})
         scene = [dict(offset_hz=offs[k], ps_name=f"WB64-{k:03d}"[:8],
                       pi=0x1000 + k, pty=4) for k in picks]
         nb = 26

@@ -130,6 +130,10 @@ class PolyFIR:
         self._single_tap = (len(nz) == 1) and up == 1 and down == 1
         self._tap_pos = int(nz[0]) if len(nz) else 0
         self._tap_gain = float(h[self._tap_pos]) if len(nz) else 0.0
+        # bf16 is only implemented for the framed-matmul path; the
+        # single-tap (pure delay) lowering would change the output dtype
+        assert not (self.compute_dtype == "bf16" and self._single_tap), \
+            "bf16 compute is not supported for single-tap (delay) filters"
         self._plan_cache: dict[int, tuple] = {}
 
     @property
@@ -176,9 +180,12 @@ class PolyFIR:
         # HBM floor: the barrier-materialized stage input + weights + output.
         # NOT c_frames*J — XLA fuses frame construction into the matmul, so
         # the frame matrix never hits HBM (measured, BENCH_NOTES 32x12 A/B).
-        byts = 4 * (n + self.tail_len + J * R + n_out)
-        return {"kind": "fir_f32", "flops": flops, "bytes": byts,
-                "dims": (c_frames, J, R)}
+        # bf16 mode moves 2-byte elements for the input/tails/weights (the
+        # output stays f32).
+        el = 2 if self.compute_dtype == "bf16" else 4
+        byts = el * (n + self.tail_len + J * R) + 4 * n_out
+        return {"kind": f"fir_{self.compute_dtype}", "flops": flops,
+                "bytes": byts, "dims": (c_frames, J, R)}
 
     def __call__(self, x: jax.Array, tail: jax.Array):
         """Apply to one block. x: (..., N); tail: (..., T-1).
@@ -250,6 +257,10 @@ def shared_frames_apply(firs: list["PolyFIR"], x: jax.Array,
     assert all((f.up, f.down, f.num_taps) == (f0.up, f0.down, f0.num_taps)
                for f in firs)
     assert not f0._single_tap
+    # the shared path computes f32 HIGHEST; a bf16-configured member would
+    # silently lose its intended traffic halving — refuse loudly instead
+    assert all(f.compute_dtype == "f32" for f in firs), \
+        "shared_frames_apply does not implement bf16 compute"
     n = x.shape[-1]
     xx = jnp.concatenate([tail, x.astype(tail.dtype)], axis=-1)
     xx = barrier(xx, "shared")

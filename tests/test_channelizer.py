@@ -121,3 +121,43 @@ def test_periodic_tone_mode_matches_general():
             snr = 10 * np.log10(np.mean(b ** 2) /
                                 (np.mean((a - b) ** 2) + 1e-30))
             assert snr > 110, f"{seg}: {snr:.1f} dB"
+
+
+def test_bf16_channelizer_fir_parity():
+    """The TPU-default bf16 channelizer FIR (RTSDR_CHAN_FIR=bf16) must run
+    on CPU too: output stays f32 and agrees with the f32-HIGHEST path above
+    the uint8 re-encode floor (~-49 dB), and the carried tails stay f32 in
+    the state pytree (the npz round-trip rule)."""
+    import os as _os
+    import jax as _jax
+
+    rx = Receiver(0, stereo=False, rds=False)
+    cfg = rx.cfg
+    wide_fs = 4 * cfg.rf_fs
+    offs = [-1_000_000, 1_500_000]
+    _os.environ["RTSDR_CHAN_FIR"] = "bf16"
+    try:
+        ch_b = Channelizer(cfg, wide_fs, offs)
+    finally:
+        del _os.environ["RTSDR_CHAN_FIR"]
+    assert ch_b.fir.compute_dtype == "bf16"
+    ch_f = Channelizer(cfg, wide_fs, offs)
+    assert ch_f.fir.compute_dtype == "f32"  # CPU default
+
+    rng = np.random.default_rng(9)
+    n = 2 * cfg.block_size_iq * ch_b.decim
+    iw = jnp.asarray(rng.standard_normal((n,)).astype(np.float32) * 0.3)
+    qw = jnp.asarray(rng.standard_normal((n,)).astype(np.float32) * 0.3)
+
+    sb, sf = ch_b.init_state(), ch_f.init_state()
+    for seg in (slice(0, n // 2), slice(n // 2, n)):
+        (ib, qb), sb = ch_b(iw[seg], qw[seg], sb)
+        (if_, qf), sf = ch_f(iw[seg], qw[seg], sf)
+        assert ib.dtype == jnp.float32 and qb.dtype == jnp.float32
+        for a, b in ((ib, if_), (qb, qf)):
+            a, b = np.asarray(a), np.asarray(b)
+            snr = 10 * np.log10(np.mean(b ** 2) /
+                                (np.mean((a - b) ** 2) + 1e-30))
+            assert snr > 45, f"{seg}: bf16-vs-f32 {snr:.1f} dB"
+    for leaf, name in ((sb.i_tails, "i_tails"), (sb.q_tails, "q_tails")):
+        assert leaf.dtype == jnp.float32, name  # state contract preserved
