@@ -120,3 +120,35 @@ def run_stages(cfg, iq_u8: np.ndarray, stereo: bool = True,
             out["rds_clean"].append(clean)
 
     return {k: np.concatenate(v) for k, v in out.items()}
+
+
+def run_channelizer(cfg, i_wide: np.ndarray, q_wide: np.ndarray,
+                    wide_fs: int, offsets_hz, taps_factor: int = 2,
+                    segments: int = 1):
+    """Float64 oracle twin of models/channelizer.Channelizer.
+
+    Mix each station down by its exact integer-phase tone, low-pass with
+    the same design_lpf taps, and decimate — all in float64 with direct
+    convolution (no frames, no carried tails: the whole capture at once,
+    optionally split into ``segments`` chunks to exercise the device
+    model's cross-segment continuity against a single-pass truth).
+    Returns (S, N//decim) complex128 station basebands.
+    """
+    from real_time_sdr_tpu.ops import filters as _filters
+
+    assert wide_fs % cfg.rf_fs == 0
+    decim = wide_fs // cfg.rf_fs
+    taps = cfg.rf_taps * taps_factor + 1
+    h = _filters.design_lpf(wide_fs, cfg.rf_fs / 2 * 0.8, taps)
+    z = i_wide.astype(np.float64) + 1j * q_wide.astype(np.float64)
+    n = len(z)
+    k = np.arange(n, dtype=np.int64)
+    out = []
+    for f in offsets_hz:
+        fr = int(f) % wide_fs
+        frac = ((fr * k) % wide_fs).astype(np.float64) / wide_fs
+        mixed = z * np.exp(-2j * np.pi * frac)
+        # causal streaming convolution: y[t] = sum_k h[k] * x[t-k]
+        filt = np.convolve(mixed, h)[:n]
+        out.append(filt[::decim])
+    return np.stack(out)
