@@ -25,6 +25,22 @@ Two tone mechanisms, picked automatically:
 - GENERAL (pathological offsets): full-length cached tables + a carried
   unit phasor advanced by the per-segment rotation (f32 continuity,
   ~1e-7 rad/segment, renormalized).
+
+FOLDED-TONE mode (the periodic default, RTSDR_CHAN_FOLD=0 restores
+mix-then-filter): mixing commutes with LTI filtering —
+
+    y_s[m] = sum_t h[t] * x[mD-t] * e^{-j*w_s*(mD-t)}
+           = e^{-j*w_s*mD} * sum_t (h[t] e^{+j*w_s*t}) * x[mD-t]
+
+so the per-station tone FOLDS into the taps (a static complex bandpass
+per station) and the (2S, n_wide) mixed rails — the dominant HBM
+arrays of the whole wideband pipeline — are never materialized. The
+shared wideband i/q rails are framed ONCE and hit one MXU matmul
+(frames (c, 2J) x weights (2J, R*2S)); the leftover per-station tone
+runs at the DECIMATED rate (D-times less traffic) from the same
+integer-exact rolled static tables (period at output rate divides the
+input-rate lcm). Algebraically identical to mix-then-filter; traffic
+drops from O(S * n_wide) to O(n_wide + S * n_wide / D).
 """
 
 from __future__ import annotations
@@ -66,6 +82,7 @@ class Channelizer:
         self.offsets = [int(f) for f in offsets_hz]
         taps = cfg.rf_taps * taps_factor + 1
         h = filters.design_lpf(self.wide_fs, cfg.rf_fs / 2 * 0.8, taps)
+        self._h64 = np.asarray(h, dtype=np.float64)
         # own barrier tag: a SINGLE FIR stage fed by elementwise mixing
         # (not the chained-FIR pattern the "polyfir" barrier guards), so
         # its fusion behaviour is A/B-able independently (RTSDR_NO_BARRIER
@@ -101,6 +118,70 @@ class Channelizer:
                             for f in self.offsets])
             self._per_c = jnp.asarray(np.cos(ang).astype(np.float32))
             self._per_s = jnp.asarray(np.sin(ang).astype(np.float32))
+        # folded-tone mode (module docstring): periodic grids default to
+        # folding the tone into per-station complex bandpass taps so the
+        # (2S, n_wide) mixed rails never exist. RTSDR_CHAN_FOLD=0 restores
+        # mix-then-filter; RTSDR_CHAN_FOLD_R tunes outputs-per-frame.
+        self.fold = bool(self.tone_period) and (
+            os.environ.get("RTSDR_CHAN_FOLD", "1") != "0")
+        if self.fold:
+            self._init_fold(taps,
+                            int(os.environ.get("RTSDR_CHAN_FOLD_R", "8")))
+
+    def _init_fold(self, taps: int, fold_r: int) -> None:
+        """Precompute the folded weight matrix and output-rate tone tables.
+
+        Weight layout (one matmul for everything): frames are the shared
+        i-rail and q-rail windows concatenated, (c, 2J); columns are
+        r-major (col = r*2S + u) so the matmul result reshapes STRAIGHT to
+        (n_out, 2S) with u < S the pre-tone real rail and u >= S the
+        imaginary rail:
+
+            v_re = i (*) hc - q (*) hs        hc[s,t] = h[t] cos(w_s t)
+            v_im = i (*) hs + q (*) hc        hs[s,t] = h[t] sin(w_s t)
+        """
+        import math as _math
+        p, d, s_ch = self.wide_fs, self.decim, len(self.offsets)
+        h, k_taps = self._h64, taps
+        t = np.arange(k_taps, dtype=np.int64)
+        hc = np.empty((s_ch, k_taps))
+        hs = np.empty((s_ch, k_taps))
+        for si, f in enumerate(self.offsets):
+            fr = f % p
+            ang = 2.0 * np.pi * ((fr * t) % p).astype(np.float64) / p
+            hc[si] = h * np.cos(ang)
+            hs[si] = h * np.sin(ang)
+        r_n = max(1, fold_r)
+        j_w = k_taps + (r_n - 1) * d        # window samples per frame
+        w2 = np.zeros((2 * j_w, r_n * 2 * s_ch))
+        cols_s = np.arange(s_ch)[:, None]   # (S, 1) station columns
+        for r in range(r_n):
+            # output r of a frame reads xx[(K-1) + r*D - t] (PolyFIR's
+            # up=1 indexing, ops/fir.py:155-161)
+            rows = ((k_taps - 1) + r * d - t)[None, :]  # (1, K)
+            base = r * 2 * s_ch
+            w2[rows, base + cols_s] = hc
+            w2[j_w + rows, base + cols_s] = -hs
+            w2[rows, base + s_ch + cols_s] = hs
+            w2[j_w + rows, base + s_ch + cols_s] = hc
+        self._fold_R, self._fold_J = r_n, j_w
+        self._fold_W = w2.astype(np.float32)
+        self._fold_tail = k_taps - 1
+        # output-rate tone e^{-j*w_s*D*u}: period divides the input lcm
+        pers = [p // _math.gcd((f * d) % p, p) if (f * d) % p else 1
+                for f in self.offsets]
+        lo = 1
+        for q in pers:
+            lo = lo * q // _math.gcd(lo, q)
+        assert lo <= self.tone_period  # divides the input-rate lcm
+        self._fold_L = lo
+        u = np.arange(lo, dtype=np.int64)
+        ang = np.stack([-2.0 * np.pi
+                        * ((((f * d) % p) * u) % p).astype(np.float64) / p
+                        for f in self.offsets])
+        self._fold_uc = jnp.asarray(np.cos(ang).astype(np.float32))
+        self._fold_us = jnp.asarray(np.sin(ang).astype(np.float32))
+        self._fold_plan_cache: dict[int, tuple] = {}
 
     def _tones(self, n: int):
         """Exact (S, n) float32 cos/sin tables of -2*pi*f*k/fs, plus the
@@ -129,10 +210,90 @@ class Channelizer:
 
     def init_state(self) -> ChannelizerState:
         s = len(self.offsets)
-        t = jnp.zeros((s, self.fir.tail_len), jnp.float32)
+        if self.fold and self.tone_period:
+            # folded mode carries the RAW wideband history (one rail pair
+            # serves every station) and `pos` at the OUTPUT rate mod the
+            # decimated-tone lcm; ph_re/ph_im are unused placeholders.
+            t = jnp.zeros((1, self._fold_tail), jnp.float32)
+        else:
+            t = jnp.zeros((s, self.fir.tail_len), jnp.float32)
         return ChannelizerState(t, t, jnp.ones((s,), jnp.float32),
                                 jnp.zeros((s,), jnp.float32),
                                 jnp.zeros((), jnp.int32))
+
+    def _fold_plan(self, n: int):
+        if n in self._fold_plan_cache:
+            return self._fold_plan_cache[n]
+        assert n % self.decim == 0, \
+            "folded channelizer needs decimation-aligned segments"
+        r_n, j_w, d = self._fold_R, self._fold_J, self.decim
+        n_out = n // d
+        stride = r_n * d
+        c_frames = -(-n_out // r_n)
+        s_over = -(-j_w // stride)
+        pad_to = (c_frames + s_over) * stride
+        plan = (n_out, stride, c_frames, s_over, pad_to)
+        self._fold_plan_cache[n] = plan
+        return plan
+
+    def _fold_frames(self, xx: jax.Array, plan) -> jax.Array:
+        """(n + tail,) rail -> (c_frames, J) windows, PolyFIR-style
+        (shifted slices of one reshape — no gathers)."""
+        n_out, stride, c_frames, s_over, pad_to = plan
+        pad = pad_to - xx.shape[-1]
+        xp = jnp.pad(xx, [(0, pad)]) if pad > 0 else xx
+        rows = xp.reshape(-1, stride)
+        parts = [rows[s:s + c_frames, :] for s in range(s_over)]
+        return jnp.concatenate(parts, axis=-1)[:, :self._fold_J]
+
+    def _fold_call(self, i_wide: jax.Array, q_wide: jax.Array,
+                   state: ChannelizerState):
+        from real_time_sdr_tpu.ops.fir import barrier
+        n = i_wide.shape[-1]
+        plan = self._fold_plan(n)
+        n_out = plan[0]
+        s_ch = len(self.offsets)
+        bf16 = self.fir.compute_dtype == "bf16"
+        dt = jnp.bfloat16 if bf16 else jnp.float32
+        xi = jnp.concatenate([state.i_tails[0].astype(dt),
+                              i_wide.astype(dt)])
+        xq = jnp.concatenate([state.q_tails[0].astype(dt),
+                              q_wide.astype(dt)])
+        xi = barrier(xi, "chan")
+        xq = barrier(xq, "chan")
+        fr = jnp.concatenate([self._fold_frames(xi, plan),
+                              self._fold_frames(xq, plan)], axis=-1)
+        if bf16:
+            y = jnp.einsum("cj,jr->cr", fr,
+                           jnp.asarray(self._fold_W, dtype=jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+        else:
+            y = jnp.einsum("cj,jr->cr", fr, jnp.asarray(self._fold_W),
+                           precision=jax.lax.Precision.HIGHEST)
+        # r-major columns: (c, R*2S) reshapes straight to (n_out, 2S)
+        v = y.reshape(-1, 2 * s_ch)[:n_out].T        # (2S, n_out) f32
+        v_re, v_im = v[:s_ch], v[s_ch:]
+        # decimated-rate tone e^{-j*w*D*(pos+m)}, integer-exact roll
+        lo = self._fold_L
+        pos = state.pos % lo
+
+        def roll(tbl):
+            doubled = jnp.concatenate([tbl, tbl], axis=-1)
+            rolled = jax.lax.dynamic_slice_in_dim(doubled, pos, lo, axis=-1)
+            return jnp.tile(rolled, (1, -(-n_out // lo)))[:, :n_out]
+
+        uc, us = roll(self._fold_uc), roll(self._fold_us)
+        # (v_re + j v_im) * (uc + j us): the tables hold the -w angle, so
+        # this is the same plain complex multiply as the mixing path
+        i_ds = uc * v_re - us * v_im
+        q_ds = uc * v_im + us * v_re
+        # raw-rail tails straight from the f32 inputs (no bf16 round-trip)
+        tl = self._fold_tail
+        i_t = jnp.concatenate([state.i_tails, i_wide[None]], -1)[:, -tl:]
+        q_t = jnp.concatenate([state.q_tails, q_wide[None]], -1)[:, -tl:]
+        new = ChannelizerState(i_t, q_t, state.ph_re, state.ph_im,
+                               (state.pos + n_out) % lo)
+        return (i_ds, q_ds), new
 
     def _periodic_tones(self, n: int, pos: jax.Array):
         """(S, n) tone tables cycled from the carried integer position:
@@ -153,6 +314,8 @@ class Channelizer:
         """i_wide, q_wide: (N,) float32 at wide_fs.
 
         Returns ((S, N//decim) i/q station basebands, new state)."""
+        if self.fold and self.tone_period:
+            return self._fold_call(i_wide, q_wide, state)
         n = i_wide.shape[-1]
         if self.tone_period:
             c, s_ = self._periodic_tones(n, state.pos)
