@@ -52,6 +52,12 @@ def ber_curve(cfg, args) -> int:
         if args.impair == "multipath":
             iq = impair_iq(iq, cfg.rf_fs, multipath=multipath,
                            doppler_hz=0.5, noise_std=sigma)
+        elif args.impair == "tuner":
+            # datasheet-typical RTL-SDR analog front end (R820T-class)
+            iq = impair_iq(iq, cfg.rf_fs, iq_gain_db=0.5, iq_phase_deg=2.0,
+                           dc_offset=0.03 + 0.02j,
+                           phase_noise_linewidth_hz=30.0,
+                           freq_offset_hz=400.0, noise_std=sigma)
         period = len(truth["bits"])
         for timing in timings:
             rx = rxs[timing]

@@ -286,6 +286,10 @@ def impair_iq(iq_u8: np.ndarray, rf_fs: int, *,
               freq_offset_hz: float = 0.0,
               freq_drift_hz_s: float = 0.0,
               noise_std: float = 0.0,
+              iq_gain_db: float = 0.0,
+              iq_phase_deg: float = 0.0,
+              dc_offset: complex = 0.0,
+              phase_noise_linewidth_hz: float = 0.0,
               seed: int = 0) -> np.ndarray:
     """Apply channel impairments to a uint8 interleaved IQ capture.
 
@@ -296,6 +300,22 @@ def impair_iq(iq_u8: np.ndarray, rf_fs: int, *,
     freq_offset_hz / freq_drift_hz_s: carrier frequency offset and linear
         drift (tuner ppm error and thermal drift).
     noise_std: complex AWGN sigma per I/Q rail (unit-amplitude signal).
+
+    Receiver-analog (tuner) artifacts — the real-RTL-SDR behaviours the
+    reference's off-air capture loop exercises (model/fmMonoBasic.py:30-42;
+    no capture ships, so these close the loop synthetically):
+
+    iq_gain_db / iq_phase_deg: quadrature demodulator imbalance — the Q
+        rail's mixer gain is off by ``iq_gain_db`` and its nominal 90 deg
+        split is off by ``iq_phase_deg`` (i' = i, q' = g*(q cos(phi) +
+        i sin(phi))); creates the classic image at -f. RTL-SDR (R820T)
+        datasheet-typical: ~0.5 dB / ~1-2 deg.
+    dc_offset: complex DC term added to the baseband (LO leakage /
+        ADC bias; the "center spike"). Typical few % of full scale.
+    phase_noise_linewidth_hz: local-oscillator phase noise as a Wiener
+        process whose accumulated phase gives a Lorentzian line of this
+        3-dB linewidth (var/sample = 2*pi*B/fs). Fractional-N PLL tuners
+        sit around tens of Hz equivalent linewidth.
     """
     z = ((iq_u8[0::2].astype(np.float64) - 128.0)
          + 1j * (iq_u8[1::2].astype(np.float64) - 128.0)) / 128.0
@@ -316,6 +336,18 @@ def impair_iq(iq_u8: np.ndarray, rf_fs: int, *,
     if freq_offset_hz or freq_drift_hz_s:
         z = z * np.exp(2j * np.pi * (freq_offset_hz * t
                                      + 0.5 * freq_drift_hz_s * t * t))
+    if phase_noise_linewidth_hz > 0:
+        rng_pn = np.random.default_rng(seed + 0x9E3779B9)
+        sig = np.sqrt(2 * np.pi * phase_noise_linewidth_hz / rf_fs)
+        theta = np.cumsum(sig * rng_pn.standard_normal(n))
+        z = z * np.exp(1j * theta)
+    if iq_gain_db or iq_phase_deg:
+        g = 10.0 ** (iq_gain_db / 20.0)
+        phi = np.deg2rad(iq_phase_deg)
+        i_r, q_r = z.real, z.imag
+        z = i_r + 1j * g * (q_r * np.cos(phi) + i_r * np.sin(phi))
+    if dc_offset:
+        z = z + dc_offset
     if noise_std > 0:
         rng = np.random.default_rng(seed)
         z = z + noise_std * (rng.standard_normal(n)

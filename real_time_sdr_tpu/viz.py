@@ -45,11 +45,14 @@ def main(argv=None) -> int:
                          "time to decode")
     ap.add_argument("--sigmas", default="0,0.02,0.05,0.08,0.12,0.16,0.22,0.3",
                     help="comma-separated AWGN sigma sweep for --ber")
-    ap.add_argument("--impair", choices=("none", "multipath"),
+    ap.add_argument("--impair", choices=("none", "multipath", "tuner"),
                     default="none",
                     help="--ber channel: 'multipath' adds a 2-ray "
                          "time-varying (1 Hz doppler beat) echo channel on "
-                         "top of each AWGN point")
+                         "top of each AWGN point; 'tuner' adds datasheet-"
+                         "typical RTL-SDR analog artifacts (0.5 dB/2 deg "
+                         "IQ imbalance, 3%+2% DC offset, 30 Hz-linewidth "
+                         "phase noise, 400 Hz CFO)")
     ap.add_argument("--live", default=None, metavar="PATH",
                     help="live diagnostic view: poll the .npz snapshot a "
                          "running `cli --monitor PATH` decode refreshes and "

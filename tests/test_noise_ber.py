@@ -133,3 +133,57 @@ def test_rds_survives_time_varying_multipath():
             assert fr.events.groups_decoded >= 6, (
                 f"{timing}/{name}: {fr.events.groups_decoded} groups")
             assert fr.events.ps_name == "FADETEST", f"{timing}/{name}"
+
+
+def test_decode_survives_tuner_artifacts():
+    """Datasheet-typical RTL-SDR receiver analog artifacts ALL AT ONCE —
+    0.5 dB / 2 deg IQ imbalance (image at -f), 3%+2% DC offset (the center
+    spike), 30 Hz-linewidth oscillator phase noise, 400 Hz CFO and mild
+    AWGN: stereo tones AND RDS PS decode must survive. Synthetic stand-in
+    for the reference's off-air capture loop (model/fmMonoBasic.py:30-42;
+    VERDICT r3 next #7)."""
+    rx = Receiver(0, stereo=True, rds=True, pll_tier=1)
+    nb = 30
+    iq, truth = synth.station_iq(rx.cfg, nb, ps_name="TUNERTST", pi=0x7373,
+                                 pty=5, tone_left=600.0, tone_right=1700.0)
+    iq = synth.impair_iq(
+        iq, rx.cfg.rf_fs,
+        iq_gain_db=0.5, iq_phase_deg=2.0,
+        dc_offset=0.03 + 0.02j,
+        phase_noise_linewidth_hz=30.0,
+        freq_offset_hz=400.0, noise_std=0.02)
+    out, framer = _decode_ps(rx, iq, nb)
+    ber, n = measure_ber(out, truth, nb)
+    assert n > 700
+    assert ber < 2e-2, f"tuner-artifact BER {ber}"
+    assert framer.events.ps_name == "TUNERTST"
+    assert framer.events.pi == 0x7373
+    fs = float(rx.cfg.audio_fs)
+    for rail, tone in ((np.asarray(out.left), 600.0),
+                       (np.asarray(out.right), 1700.0)):
+        rail = rail[len(rail) // 3:]
+        sp = np.abs(np.fft.rfft(rail * np.hanning(len(rail))))
+        got = np.fft.rfftfreq(len(rail), 1 / fs)[sp.argmax()]
+        assert abs(got - tone) < 10, f"tone {tone}: got {got:.0f}"
+
+
+def test_tuner_artifacts_individually():
+    """Each tuner artifact alone at ABOVE-datasheet severity (2 dB / 5 deg
+    imbalance, 8% DC, 100 Hz linewidth): PS decode must survive each one,
+    bounding which artifact breaks first as levels rise."""
+    cases = [
+        ("iq_imbalance", dict(iq_gain_db=2.0, iq_phase_deg=5.0)),
+        ("dc_offset", dict(dc_offset=0.08 + 0.05j)),
+        ("phase_noise", dict(phase_noise_linewidth_hz=100.0)),
+    ]
+    rx = Receiver(0, stereo=True, rds=True, pll_tier=1)
+    nb = 30
+    for name, kw in cases:
+        iq, truth = synth.station_iq(rx.cfg, nb, ps_name="ARTIFACT",
+                                     pi=0x0707, pty=6)
+        iq = synth.impair_iq(iq, rx.cfg.rf_fs, **kw)
+        out, framer = _decode_ps(rx, iq, nb)
+        ber, n = measure_ber(out, truth, nb)
+        assert n > 700, f"{name}: only {n} bits"
+        assert ber < 2e-2, f"{name}: BER {ber}"
+        assert framer.events.ps_name == "ARTIFACT", name
