@@ -192,3 +192,61 @@ def test_joint_channel_time_sharding():
                                       np.asarray(seq.rds_nbits))
         np.testing.assert_array_equal(np.asarray(outs.rds_bits)[c],
                                       np.asarray(seq.rds_bits))
+
+
+@pytest.mark.parametrize("fold", [True, False])
+def test_sharded_wideband_matches_unsharded(fold):
+    """ShardedWideband (channelizer + bank in ONE mesh computation,
+    station axis sharded over 8 devices) must equal the unsharded
+    channelize->decode chain: audio to f32 tolerance, RDS bit decisions
+    bit-exact — in BOTH channelizer modes (folded-tone and
+    mix-then-filter), across two carried-state segments."""
+    import os
+    from real_time_sdr_tpu.models.channelizer import Channelizer
+    from real_time_sdr_tpu.parallel.wideband import ShardedWideband
+
+    rx = Receiver(0, stereo=True, rds=True, pll_tier=3)
+    cfg = rx.cfg
+    wide_fs = 4 * cfg.rf_fs
+    n_st = 8
+    offs = [int((k - (n_st - 1) / 2) * 300_000) for k in range(n_st)]
+    key = "RTSDR_CHAN_FOLD"
+    old = os.environ.get(key)
+    os.environ[key] = "1" if fold else "0"
+    try:
+        ch = Channelizer(cfg, wide_fs, offs)
+    finally:
+        if old is None:
+            del os.environ[key]
+        else:
+            os.environ[key] = old
+    assert ch.fold == fold
+
+    rng = np.random.default_rng(11)
+    nseg = 2 * cfg.block_size_iq * ch.decim
+    iw = rng.standard_normal(2 * nseg).astype(np.float32) * 0.2
+    qw = rng.standard_normal(2 * nseg).astype(np.float32) * 0.2
+
+    mesh = Mesh(np.array(jax.devices()), ("ch",))
+    sw = ShardedWideband(ch, rx, mesh)
+    cs, bs = sw.init_state()
+    # every station-major leaf must actually BE sharded over the mesh
+    leaf = jax.tree_util.tree_leaves(bs)[0]
+    assert len(leaf.sharding.device_set) == 8, leaf.sharding
+
+    cs_u, bs_u = ch.init_state(), rx.init_state(batch=(n_st,))
+    step_u = jax.jit(lambda c, b, i, q: (lambda r: (r[1], *jax.vmap(
+        rx.run_segment)(b, ch.to_uint8(*r[0]))))(ch(i, q, c)))
+
+    for seg in (slice(0, nseg), slice(nseg, 2 * nseg)):
+        cs, bs, out = sw.step(cs, bs, iw[seg], qw[seg])
+        cs_u, bs_u, out_u = step_u(cs_u, bs_u, jnp.asarray(iw[seg]),
+                                   jnp.asarray(qw[seg]))
+        a, b = np.asarray(out.left), np.asarray(out_u.left)
+        snr = 10 * np.log10(np.mean(b ** 2) /
+                            (np.mean((a - b) ** 2) + 1e-30))
+        assert snr > 70, f"{seg}: sharded audio diverges {snr:.1f} dB"
+        np.testing.assert_array_equal(np.asarray(out.rds_nbits),
+                                      np.asarray(out_u.rds_nbits))
+        np.testing.assert_array_equal(np.asarray(out.rds_bits),
+                                      np.asarray(out_u.rds_bits))
