@@ -161,11 +161,14 @@ def main() -> None:
                          "this many blocks (the v5e optimum; dispatches "
                          "pipeline asynchronously so chunking costs nothing; "
                          "0 = one wide in-graph pass)")
-    ap.add_argument("--wideband", type=int, default=0, metavar="N",
+    ap.add_argument("--wideband", type=int, default=8, metavar="N",
                     help="also measure the channelizer serving path: N "
                          "stations mixed+decimated out of ONE 4x-rate "
                          "wideband capture, then decoded as a bank "
-                         "(models/channelizer.py); prints a stderr line")
+                         "(models/channelizer.py); prints a stderr line "
+                         "so the driver's BENCH_r*.json tail records it "
+                         "(0 disables; runs only if budget remains after "
+                         "the flagship ladder)")
     ap.add_argument("--latency", action="store_true",
                     help="also measure BLOCK-mode per-step latency vs the "
                          "real-time deadline (the reference's contract is "

@@ -259,8 +259,12 @@ class Channelizer:
                               i_wide.astype(dt)])
         xq = jnp.concatenate([state.q_tails[0].astype(dt),
                               q_wide.astype(dt)])
-        xi = barrier(xi, "chan")
-        xq = barrier(xq, "chan")
+        # "chanfold" site, default ON: without it XLA's fusion search
+        # across the fold frame construction + the station bank explodes
+        # (64-station compile never finished in 20 min on v5e; with the
+        # barrier 11 s compile, 11.8x realtime — BENCH_NOTES 2026-08-20)
+        xi = barrier(xi, "chanfold")
+        xq = barrier(xq, "chanfold")
         fr = jnp.concatenate([self._fold_frames(xi, plan),
                               self._fold_frames(xq, plan)], axis=-1)
         if bf16:

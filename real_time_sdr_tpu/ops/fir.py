@@ -66,14 +66,19 @@ _FORCE_BARRIER = frozenset(
     t.strip() for t in os.environ.get("RTSDR_BARRIER", "").split(",")
     if t.strip())
 _DEFAULT_OFF = frozenset(("dualphase", "frontend", "chan"))
-# "chan" (the channelizer's single wideband FIR stage): barrier-free is
+# "chan" (the channelizer's MIX-mode wideband FIR stage): barrier-free is
 # ~3% faster at 64 stations with identical compile time (2026-08-19 A/B);
 # it is not part of the chained-FIR pattern the polyfir barrier guards.
+# "chanfold" (the FOLDED-tone channelizer's shared-rail input) is default
+# ON: barrier-free, XLA's fusion search across the fold's frame
+# construction + the 64-station bank EXPLODES (compile never finished in
+# 20 min on v5e, 2026-08-20); with the barrier it compiles in 11 s and
+# runs 11.8x realtime (2.1x the mix path).
 # The canonical universe of barrier tags. Experiments that force/drop sites
 # (experiments/barrier_ab.py) import this so "baseline = all barriers" stays
 # true when a new site is added.
 ALL_BARRIER_TAGS = frozenset(("pll", "polyfir", "shared", "frontend",
-                              "dualphase", "chan"))
+                              "dualphase", "chan", "chanfold"))
 
 
 def barrier(x, tag: str):
