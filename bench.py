@@ -169,6 +169,11 @@ def main() -> None:
                          "so the driver's BENCH_r*.json tail records it "
                          "(0 disables; runs only if budget remains after "
                          "the flagship ladder)")
+    ap.add_argument("--staged", choices=("auto", "0", "1"), default="auto",
+                    help="serve HOST-staged segments (tail+pad built by the "
+                         "ingest, zero device staging copies; pallas "
+                         "frontend only). auto = on when the frontend is "
+                         "pallas")
     ap.add_argument("--latency", action="store_true",
                     help="also measure BLOCK-mode per-step latency vs the "
                          "real-time deadline (the reference's contract is "
@@ -261,7 +266,18 @@ def main() -> None:
     # WORSE on v5e: lax.map grouping 1976x, map+scan tiling 944x, vs
     # 2916x host-celled at 128ch x 48blk — and their compiles run
     # 3-6 minutes cache-cold vs seconds here.)
-    digest_v = benchkit.digest_step(rx)
+    digest_plain = benchkit.digest_step(rx)
+    staged = (args.staged == "1" or (args.staged == "auto"
+                                     and rx.frontend.impl == "pallas"))
+    if staged and not hasattr(rx.frontend.rf_fir, "stage_segment"):
+        print("# --staged needs the pallas frontend; serving unstaged",
+              file=sys.stderr)
+        staged = False
+    if staged:
+        print("# serving host-staged segments (--staged)", file=sys.stderr)
+    # staged digests are per-chunk-length; every ladder rung tiles to the
+    # same 12-block chunk, so this stays ONE graph in practice
+    staged_digests: dict[int, object] = {}
 
     def fetch(x):
         return float(np.asarray(x)[()] if np.ndim(x) == 0 else
@@ -289,11 +305,21 @@ def main() -> None:
             n_g = n_ch // g
             per_ch_dev = benchkit.shifted_channel_segments(iq, n_ch, n_len)
             chunk_len = n_len // n_chunks
-            # cells[gi][k]: (g, chunk_len) uint8 for sub-bank gi, chunk k
-            cells = [[jax.device_put(
-                per_ch_dev[gi * g:(gi + 1) * g,
-                           k * chunk_len:(k + 1) * chunk_len])
-                for k in range(n_chunks)] for gi in range(n_g)]
+            if staged:
+                # host-staged cells: tail+pad baked in (steady-state
+                # cyclic tails), digest via run_segment_staged
+                per_ch_host = np.asarray(per_ch_dev)
+                cells = benchkit.stage_cells(rx, per_ch_host, n_g, g,
+                                             n_chunks, chunk_len)
+                digest_v = staged_digests.setdefault(
+                    chunk_len, benchkit.digest_step_staged(rx, chunk_len))
+            else:
+                digest_v = digest_plain
+                # cells[gi][k]: (g, chunk_len) uint8 for sub-bank gi, chunk k
+                cells = [[jax.device_put(
+                    per_ch_dev[gi * g:(gi + 1) * g,
+                               k * chunk_len:(k + 1) * chunk_len])
+                    for k in range(n_chunks)] for gi in range(n_g)]
             states = [rx.init_state(batch=(g,)) for _ in range(n_g)]
             # compile + warm up (the digest fetch is the only real sync on
             # the axon platform)

@@ -23,6 +23,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", type=int, default=0)
     ap.add_argument("--channels", type=int, default=32)
     ap.add_argument("--blocks", type=int, default=12)
     ap.add_argument("--min-measure", type=float, default=1.5)
@@ -55,7 +56,7 @@ def main() -> None:
     results = {}
     prev = 0.0
     for name, kw in configs:
-        rx = Receiver(0, pll_tier=3, **kw)
+        rx = Receiver(args.mode, pll_tier=3, **kw)
         if name.endswith("-nobits"):
             rx.rds_path.emit_bits = False
         cfg = rx.cfg

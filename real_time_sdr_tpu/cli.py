@@ -334,6 +334,8 @@ def main(argv=None) -> int:
 
     if args.stations:
         return run_wideband(args, rx, cfg)
+    # host-staged ingest rides the pallas frontend's padded-operand path
+    use_staged = rx.frontend.impl in ("pallas", "pallas_interpret")
     block_bytes = 2 * cfg.block_size_iq
     budget = cfg.block_size_iq / cfg.rf_fs  # real-time seconds per block
 
@@ -367,9 +369,14 @@ def main(argv=None) -> int:
         t0 = time.perf_counter()
         # compile the shape the stream will actually use (--segment blocks
         # per call); a mid-stream compile would back up a live source
-        silent = jnp.full((max(1, args.segment) * block_bytes,), 128,
-                          jnp.uint8)
-        _, wout = rx.jit_step(state, silent)  # discarded: state untouched
+        n2_w = max(1, args.segment) * block_bytes
+        if use_staged:
+            silent = jnp.full((rx.frontend.staged_len(n2_w),), 128,
+                              jnp.uint8)
+            _, wout = rx.jit_run_segment_staged(state, silent, n2_w)
+        else:
+            silent = jnp.full((n2_w,), 128, jnp.uint8)
+            _, wout = rx.jit_step(state, silent)  # discarded
         np.asarray(jax.tree_util.tree_leaves(wout)[0]).ravel()[:1]
         print(f"warmed up (compiled) in {time.perf_counter()-t0:.1f} s",
               file=sys.stderr)
@@ -445,7 +452,7 @@ def main(argv=None) -> int:
         if not bufs:
             return None
         arr = bufs[0] if len(bufs) == 1 else np.concatenate(bufs)
-        return jnp.asarray(arr), t_in, len(bufs)
+        return arr, t_in, len(bufs)
 
     n_disp = 0
 
@@ -507,11 +514,22 @@ def main(argv=None) -> int:
             latencies.append(time.perf_counter() - t_in)
 
     nxt = read_group()
+    # host-staged ingest (pallas frontend): the read loop builds the
+    # padded [tail | segment | 0x80] operand itself, so the device graph
+    # runs zero staging copies (BENCH_NOTES 2026-08-20); bit-identical
+    # to the unstaged path (tests/test_pallas_frontend.py)
+    prev_tail = np.asarray(state.frontend.iq_tail)
     while nxt is not None:
         t0 = time.perf_counter()
         seg, t_in, g = nxt
-        state, out = rx.jit_step(state, seg)  # async dispatch (jit caches
-        n_disp += g                           # one graph per segment shape)
+        if use_staged:
+            xp = rx.frontend.stage_segment(prev_tail, seg)
+            prev_tail = seg[-prev_tail.shape[-1]:].copy()
+            state, out = rx.jit_run_segment_staged(
+                state, jnp.asarray(xp), seg.shape[-1])  # async dispatch
+        else:
+            state, out = rx.jit_step(state, jnp.asarray(seg))  # async
+        n_disp += g              # (jit caches one graph per segment shape)
         r0 = time.perf_counter()
         nxt = read_group()
         read_wait = time.perf_counter() - r0  # blocked on the SOURCE, not

@@ -87,3 +87,24 @@ class Frontend:
             demod, prev_i, prev_q = fm_demod(i_ds, q_ds, state.prev_i,
                                              state.prev_q)
         return demod, FrontendState(iq_tail, prev_i, prev_q)
+
+    # -- host-staged ingest (pallas impl only) -----------------------------
+
+    def staged_len(self, n2: int) -> int:
+        """Padded host-staging length for an n2-byte segment."""
+        return self.rf_fir.staged_len(n2)  # AttributeError on the xla impl
+
+    def stage_segment(self, prev_tail_u8, seg_u8, out=None):
+        """HOST staging: [tail | segment | 0x80 pad] (numpy, batch dims ok)."""
+        return self.rf_fir.stage_segment(prev_tail_u8, seg_u8, out=out)
+
+    def call_staged(self, xp_u8: jax.Array, n2: int, state: FrontendState):
+        """Staged twin of ``__call__``: xp_u8 (..., staged_len(n2)) carries
+        the tail+pad already (host ingest), so the device-side staging
+        copies never run. ``state.iq_tail`` is ignored on entry (the staged
+        bytes embed the tail) but the returned state is fully consistent —
+        staged and unstaged calls interleave freely (bit-identical;
+        tests/test_pallas_frontend.py)."""
+        demod, iq_tail, prev_i, prev_q = self.rf_fir.call_staged(
+            xp_u8, n2, state.prev_i, state.prev_q)
+        return demod, FrontendState(iq_tail, prev_i, prev_q)

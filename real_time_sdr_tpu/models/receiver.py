@@ -74,6 +74,7 @@ class Receiver:
             self._if_bank = None
         self._jit_step = jax.jit(self.step)
         self._jit_scan = jax.jit(self.run_blocks)
+        self._staged_jits: dict[int, Any] = {}
 
     # -- state -------------------------------------------------------------
 
@@ -108,6 +109,9 @@ class Receiver:
         or parallel.channel.ChannelBank — see _check_batch)."""
         self._check_batch(iq_u8, 1)
         demod, f_state = self.frontend(iq_u8, state.frontend)
+        return self._post_frontend(demod, f_state, state)
+
+    def _post_frontend(self, demod, f_state, state: ReceiverState):
         shared = band_pre = None
         if self._if_bank is not None:
             (pilot, band_s, band_r), if_tail = self._if_bank(
@@ -164,6 +168,32 @@ class Receiver:
         (>110 dB audio, bit-identical RDS).
         """
         return self.step(state, iq_segment)
+
+    def run_segment_staged(self, state: ReceiverState, xp_u8: jax.Array,
+                           n2: int):
+        """Segment mode over a HOST-STAGED operand (pallas frontend only):
+        xp_u8 (..., frontend.staged_len(n2)) = [tail | segment | 0x80 pad]
+        built by ``frontend.stage_segment``. Bit-identical to
+        ``run_segment`` on the embedded segment, minus the device-side
+        concat+pad staging passes (the last named flagship overhead —
+        BENCH_NOTES mode-0/2 attribution). ``n2`` is static (the segment
+        byte length). The returned state is fully consistent, so staged
+        and unstaged calls interleave freely."""
+        self._check_batch(xp_u8, 1)
+        demod, f_state = self.frontend.call_staged(xp_u8, n2,
+                                                   state.frontend)
+        return self._post_frontend(demod, f_state, state)
+
+    def jit_run_segment_staged(self, state: ReceiverState, xp_u8: jax.Array,
+                               n2: int):
+        """Jitted ``run_segment_staged`` (one cached graph per segment
+        byte length, like jit_step's per-shape caching)."""
+        fn = self._staged_jits.get(n2)
+        if fn is None:
+            import functools
+            fn = self._staged_jits[n2] = jax.jit(
+                functools.partial(self.run_segment_staged, n2=n2))
+        return fn(state, xp_u8)
 
     def run_segment_tiled(self, state: ReceiverState, iq_segment: jax.Array,
                           tile_blocks: int = 12):

@@ -53,6 +53,9 @@ __all__ = ["FusedFrontendFIR"]
 _G = 64  # outputs per frame: 2*G = one 128-lane column block (I | Q)
 # A/B hook: split-matmul frame form (see _kernel). Measured on v5e.
 _SPLIT = os.environ.get("RTSDR_FRONTEND_SPLIT", "0") == "1"
+# predecessor extraction: lane ROLL (default; exact, no MXU) vs the old
+# f32-HIGHEST selector matmuls (RTSDR_FRONTEND_PRED=dot restores)
+_PRED_ROLL = os.environ.get("RTSDR_FRONTEND_PRED", "roll") != "dot"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -111,19 +114,30 @@ def _kernel(a_ref, b_ref, whi_ref, wlo_ref, pi_ref, pq_ref, o_ref, *,
     fi = pl.program_id(0)
     pv_i = pi_ref[pl.dslice(fi, 1), :]     # (1, 1) from the (nbf, 1) table
     pv_q = pq_ref[pl.dslice(fi, 1), :]
-    # last column extracted by a selector matmul, NOT a lane slice: a
-    # lane-offset-63 slice cannot be sublane-concatenated with an
-    # offset-0 vector (Mosaic: "offset mismatch on non-concat dimension"),
-    # but a matmul result always lands at lane offset 0
-    row = jax.lax.broadcasted_iota(jnp.int32, (2 * g, 1), 0)
-    sel_i = (row == g - 1).astype(jnp.float32)
-    sel_q = (row == 2 * g - 1).astype(jnp.float32)
-    # HIGHEST pins the f32 contraction (TPU default would bf16-round the
-    # predecessor sample, injecting an error comb at if_fs/g into the demod)
-    last_i = jnp.dot(y, sel_i, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-    last_q = jnp.dot(y, sel_q, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+    # last column moved to lane offset 0: a lane-offset-63 slice cannot be
+    # sublane-concatenated with an offset-0 vector (Mosaic: "offset
+    # mismatch on non-concat dimension"), but a LANE ROTATE by +1 lands
+    # column g-1 at offset 0 (and is exact data movement). This replaced
+    # two (tf, 2g) x (2g, 1) f32-HIGHEST selector matmuls — each an
+    # N-padded multi-pass MXU dispatch that rivaled the main banded
+    # matmul's lane budget. Measured (v5e 32x12, 2026-08-20): ~+1% on
+    # every mode (mode 0 98.0 -> 99.4% of floor), bit-identical outputs.
+    if _PRED_ROLL:
+        # two rolls so BOTH predecessors land at lane offset 0 (a single
+        # roll leaves one of them at offset g, un-concatenable):
+        # roll(+1)[0] = y[2g-1] = last Q; roll(+g+1)[0] = y[g-1] = last I
+        last_q = pltpu.roll(y, 1, 1)[:, 0:1]
+        last_i = pltpu.roll(y, g + 1, 1)[:, 0:1]
+    else:
+        row = jax.lax.broadcasted_iota(jnp.int32, (2 * g, 1), 0)
+        sel_i = (row == g - 1).astype(jnp.float32)
+        sel_q = (row == 2 * g - 1).astype(jnp.float32)
+        # HIGHEST pins the f32 contraction (TPU default would bf16-round
+        # the predecessor, an error comb at if_fs/g in the demod)
+        last_i = jnp.dot(y, sel_i, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        last_q = jnp.dot(y, sel_q, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
     ip0 = jnp.concatenate([pv_i, last_i[:-1]], axis=0)
     qp0 = jnp.concatenate([pv_q, last_q[:-1]], axis=0)
     ip = jnp.concatenate([ip0, i_sig[:, :g - 1]], axis=-1)
@@ -236,6 +250,42 @@ class FusedFrontendFIR:
         """Decimated (I[m], Q[m]) — the carried discriminator state."""
         return self._boundary_dots(xf, [m])[..., 0, :]
 
+    def staged_len(self, n2: int) -> int:
+        """Padded byte length of a HOST-staged operand for an n2-byte
+        segment: [tail (2K-2) | segment (n2) | 0x80 pad]."""
+        return self._plan(n2)[4] * self.stride
+
+    def stage_segment(self, prev_tail_u8, seg_u8, out=None):
+        """HOST-side staging (numpy): build the padded operand so the
+        device-side concat+pad passes (~290 us/run at mode-0 32x12, the
+        last named flagship overhead — BENCH_NOTES) never run. Supports
+        leading batch dims; pass ``out`` to reuse a preallocated buffer."""
+        prev_tail_u8 = np.asarray(prev_tail_u8, dtype=np.uint8)
+        seg_u8 = np.asarray(seg_u8, dtype=np.uint8)
+        n2 = seg_u8.shape[-1]
+        tl = self.tail_len
+        shape = seg_u8.shape[:-1] + (self.staged_len(n2),)
+        if out is None:
+            out = np.empty(shape, dtype=np.uint8)
+        assert out.shape == shape
+        out[..., :tl] = prev_tail_u8
+        out[..., tl:tl + n2] = seg_u8
+        out[..., tl + n2:] = 128
+        return out
+
+    def call_staged(self, xp_u8: jax.Array, n2: int,
+                    prev_i: jax.Array, prev_q: jax.Array):
+        """xp_u8: (..., staged_len(n2)) host-staged bytes (stage_segment).
+
+        Same results as ``__call__`` bit-for-bit (the new tail is sliced
+        out of the staged bytes), with zero device-side staging copies.
+        """
+        new_tail = xp_u8[..., n2:n2 + self.tail_len]
+        xf = jax.lax.bitcast_convert_type(barrier(xp_u8, "frontend"),
+                                          jnp.int8)
+        demod, new_prev = self._dispatch(xf, n2, prev_i, prev_q)
+        return demod, new_tail, new_prev[..., 0], new_prev[..., 1]
+
     def __call__(self, s_u8: jax.Array, tail_u8: jax.Array,
                  prev_i: jax.Array, prev_q: jax.Array):
         """s_u8: (..., 2N) raw interleaved uint8; tail_u8: (..., 2K-2).
@@ -252,11 +302,20 @@ class FusedFrontendFIR:
         # the (x-128)/128 normalization happens in-kernel). The old chain
         # (concat, xor+bitcast pass, pad pass) cost one more full HBM pass
         # over the raw stream; a single 3-operand concat variant was also
-        # measured and lowered to a slower dynamic-update-slice.
+        # measured and lowered to a slower dynamic-update-slice. These
+        # staging passes disappear entirely on the call_staged path, where
+        # the HOST ingest pre-builds the padded operand.
         pad = rows_total * self.stride - xx.shape[-1]
         xf = jnp.pad(xx, [(0, 0)] * (xx.ndim - 1) + [(0, pad)],
                      constant_values=jnp.uint8(128))
         xf = jax.lax.bitcast_convert_type(xf, jnp.int8)
+        demod, new_prev = self._dispatch(xf, n2, prev_i, prev_q)
+        return demod, new_tail, new_prev[..., 0], new_prev[..., 1]
+
+    def _dispatch(self, xf: jax.Array, n2: int,
+                  prev_i: jax.Array, prev_q: jax.Array):
+        """Padded int8 stream (..., rows_total*stride) -> (demod, new_prev)."""
+        n_out, c_frames, tf, nbf, rows_total = self._plan(n2)
         rows = xf.reshape(xf.shape[:-1] + (rows_total, self.stride))
 
         # only each TILE's first frame needs an external predecessor (the
@@ -275,7 +334,7 @@ class FusedFrontendFIR:
         pi_arr = bnd[..., 0:1]
         pq_arr = bnd[..., 1:2]
 
-        batch = s_u8.shape[:-1]
+        batch = xf.shape[:-1]
         tf_blocks = tf // 32
         kern = functools.partial(_kernel, tf=tf, g=self.g,
                                  stride=self.stride, jp=self.jp,
@@ -310,4 +369,4 @@ class FusedFrontendFIR:
                  jnp.asarray(self._w_lo), pi_arr, pq_arr)
         demod = out.reshape(batch + (nbf * tf * self.g,))[..., :n_out]
         new_prev = self._boundary_sample(xf, n_out - 1)
-        return demod, new_tail, new_prev[..., 0], new_prev[..., 1]
+        return demod, new_prev

@@ -71,3 +71,42 @@ def tunnel_rt_floor(reps: int = 5) -> float:
         float(np.asarray(bump(tiny))[0])
         best = min(best, time.perf_counter() - t0)
     return best
+
+
+def digest_step_staged(rx, n2: int):
+    """Staged twin of digest_step: segments arrive as HOST-staged padded
+    operands (rx.frontend.stage_segment), so the device graph runs zero
+    staging copies. Bit-identical digests to digest_step on the same data
+    (tests/test_pallas_frontend.py::test_staged_segment_bit_exact)."""
+    import jax
+    import jax.numpy as jnp
+
+    def digest_fn(state, xp):
+        s2, out = rx.run_segment_staged(state, xp, n2)
+        sums = [jnp.sum(o if o.dtype != jnp.int32 else o.astype(jnp.float32))
+                for o in jax.tree_util.tree_leaves(out)]
+        return s2, sum(sums)
+
+    return jax.jit(jax.vmap(digest_fn))
+
+
+def stage_cells(rx, per_ch_host, n_g: int, g: int, n_chunks: int,
+                chunk_len: int):
+    """Host-stage the bench serving cells: cells[gi][k] is the padded
+    operand for sub-bank gi, chunk k, with the embedded tail taken from
+    chunk k-1 (cyclically — the bench replays the chunk ring, so the
+    steady-state tail of chunk 0 is chunk n_chunks-1's end)."""
+    import jax
+
+    tl = rx.frontend.rf_fir.tail_len
+    cells = []
+    for gi in range(n_g):
+        rows = per_ch_host[gi * g:(gi + 1) * g]
+        col = []
+        for k in range(n_chunks):
+            seg = rows[:, k * chunk_len:(k + 1) * chunk_len]
+            kp = (k - 1) % n_chunks  # steady-state cyclic replay tail
+            tail = rows[:, (kp + 1) * chunk_len - tl:(kp + 1) * chunk_len]
+            col.append(jax.device_put(rx.frontend.stage_segment(tail, seg)))
+        cells.append(col)
+    return cells

@@ -124,3 +124,37 @@ def test_frontend_impl_interchange():
     dp2, _ = fp(x, sx)
     dx2, _ = fx(x, sp)
     assert _snr(np.asarray(dx2, np.float64), dp2) > 65.0
+
+
+@pytest.mark.parametrize("mode", [0, 2])
+def test_staged_segment_bit_exact(mode):
+    """run_segment_staged over a HOST-staged operand must be BIT-identical
+    to run_segment on the raw segment, across chained segments and when
+    staged/unstaged calls interleave (the state contract is shared)."""
+    from real_time_sdr_tpu.models.receiver import Receiver
+
+    rx = Receiver(mode, stereo=True, rds=True, pll_tier=3,
+                  frontend_impl="pallas_interpret")
+    cfg = rx.cfg
+    n2 = 2 * 2 * cfg.block_size_iq  # 2-block segments
+    rng = np.random.default_rng(4)
+    segs = [rng.integers(0, 256, (n2,), dtype=np.uint8) for _ in range(3)]
+
+    s_a = s_b = rx.init_state()
+    tail = np.asarray(s_b.frontend.iq_tail)
+    for k, seg in enumerate(segs):
+        s_a, out_a = rx.run_segment(s_a, jnp.asarray(seg))
+        if k == 1:
+            # interleave: middle segment goes UNstaged through path B too
+            s_b, out_b = rx.run_segment(s_b, jnp.asarray(seg))
+        else:
+            xp = rx.frontend.stage_segment(tail, seg)
+            assert xp.shape[-1] == rx.frontend.staged_len(n2)
+            s_b, out_b = rx.run_segment_staged(s_b, jnp.asarray(xp), n2)
+        tail = seg[-rx.frontend.rf_fir.tail_len:]
+        for la, lb in zip(jax.tree_util.tree_leaves(out_a),
+                          jax.tree_util.tree_leaves(out_b)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+        for la, lb in zip(jax.tree_util.tree_leaves(s_a),
+                          jax.tree_util.tree_leaves(s_b)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
