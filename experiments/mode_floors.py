@@ -55,7 +55,14 @@ def main() -> None:
         iq, _ = synth.station_iq(cfg, n_blk)
         seg = benchkit.shifted_channel_segments(iq, n_ch, n_len)
         st = rx.init_state(batch=(n_ch,))
-        step = benchkit.digest_step(rx)
+        if hasattr(rx.frontend.rf_fir, "stage_segment"):
+            # measure the production serving path: host-staged segments
+            # (bench.py --staged default; steady-state cyclic tail)
+            seg = benchkit.stage_cells(rx, np.asarray(seg), 1, n_ch, 1,
+                                       n_len)[0][0]
+            step = benchkit.digest_step_staged(rx, n_len)
+        else:
+            step = benchkit.digest_step(rx)
         t0 = time.perf_counter()
         s2, dig = step(st, seg)
         float(np.asarray(dig).ravel()[0])
