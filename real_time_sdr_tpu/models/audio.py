@@ -99,7 +99,11 @@ class StereoPath:
                                     nco_scale=2.0, phase_adjust=0.0,
                                     norm_bw=C.PLL_BW_STEREO)
         if pll_tier == 3:
-            self._sync = FeedforwardSync(self.pll_params)
+            # derive2: mode-0's graph is VPU-bound (deriving the
+            # double-angle tables measured +14% there) while modes 1-3
+            # are table-HBM-bound (-2..-8%) — ops/sync.py A/B 2026-08-20
+            self._sync = FeedforwardSync(self.pll_params,
+                                         derive2=(cfg.mode != 0))
             self._pll = self._sync.__call__
         else:
             self._sync = None

@@ -41,6 +41,8 @@ from real_time_sdr_tpu.ops.prefix import prefix_sum
 
 __all__ = ["FeedforwardSync", "FFSyncCarry"]
 
+import os as _os
+
 _TWO_PI = 2.0 * math.pi
 _FOUR_PI = 4.0 * math.pi
 
@@ -75,8 +77,15 @@ class FeedforwardSync:
     signature of ops.pll.pll_scan."""
 
     def __init__(self, p: PllParams, hilbert_taps: int = 63,
-                 smooth_taps: int = 65):
+                 smooth_taps: int = 65, derive2: bool | None = None):
         self.p = p
+        # stereo double-angle carrier: derive cos/sin(2*ramp) from (ce, se)
+        # by register algebra vs the exact rolled tables. Wins where the
+        # graph is table-HBM-bound (v5e 32x12 A/B 2026-08-20: mode 1 -8%,
+        # mode 3 -4%) and LOSES where it is VPU-bound (mode 0 +14%) — the
+        # caller picks per mode; RTSDR_SYNC_TBL2=1/0 force-overrides.
+        env = _os.environ.get("RTSDR_SYNC_TBL2")
+        self.derive2 = (env != "1") if env is not None else bool(derive2)
         h_h = _hilbert_taps(hilbert_taps)
         m = (hilbert_taps - 1) // 2
         delay = np.zeros(hilbert_taps)
@@ -191,10 +200,30 @@ class FeedforwardSync:
             cm, sm_ = jnp.cos(two_mu), jnp.sin(two_mu)   # per-block scalars
             cb = cos2r * cm - sin2r * sm_                # cos 2(resid+Dmu)
             sb = sin2r * cm + cos2r * sm_
-            c2 = self._rolled_table(jnp.cos(2.0 * angle_tbl),
-                                    carry.trig + 1, n)
-            s2 = self._rolled_table(jnp.sin(2.0 * angle_tbl),
-                                    carry.trig + 1, n)
+            if self.derive2:
+                # derive cos/sin(2*ramp) from the ALREADY-LOADED (ce, se):
+                # the ramp is linear mod 2*pi, so the table offset between
+                # the (trig+1) and (trig+1-hilbert_delay) phases is the
+                # CONSTANT angle delta = trig_angle(hilbert_delay); the
+                # double-angle identity + that constant rotation is pure
+                # fusible register algebra — the two (..., n) c2/s2 table
+                # materializations (two tile kernels + 2x HBM round trips,
+                # ~110 us/run at mode-1 32x12) never happen. ~1e-7 carrier
+                # phase error vs the exact tables (f32 product rounding),
+                # far below the downstream u8/bf16 floors; RTSDR_SYNC_TBL2
+                # =1 restores the exact-table path.
+                delta = p.trig_angle(
+                    jnp.asarray(self.hilbert_delay, jnp.int32))
+                cph, sph = jnp.cos(2.0 * delta), jnp.sin(2.0 * delta)
+                cos2e = ce * ce - se * se
+                sin2e = 2.0 * ce * se
+                c2 = cos2e * cph - sin2e * sph
+                s2 = sin2e * cph + cos2e * sph
+            else:
+                c2 = self._rolled_table(jnp.cos(2.0 * angle_tbl),
+                                        carry.trig + 1, n)
+                s2 = self._rolled_table(jnp.sin(2.0 * angle_tbl),
+                                        carry.trig + 1, n)
             carrier = c2 * cb - s2 * sb
             resid_last = carry.resid + jnp.sum(d, axis=-1)
         else:

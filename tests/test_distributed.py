@@ -272,3 +272,91 @@ def test_two_process_joint_channel_time_sharding(tmp_path):
     for pid, (rc, out, err) in enumerate(outs):
         assert rc == 0, f"worker {pid} rc={rc}\n{err[-2000:]}"
         assert f"WORKER_OK {pid}" in out
+
+
+_WORKER_WIDEBAND = textwrap.dedent("""
+    import sys
+    port, pid = sys.argv[1], int(sys.argv[2])
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    import numpy as np
+    from jax.sharding import Mesh
+    from real_time_sdr_tpu.models.channelizer import Channelizer
+    from real_time_sdr_tpu.models.receiver import Receiver
+    from real_time_sdr_tpu.parallel import distributed as D
+    from real_time_sdr_tpu.parallel.wideband import ShardedWideband
+
+    D.initialize(f"127.0.0.1:{port}", num_processes=2, process_id=pid)
+    assert len(jax.devices()) == 4
+    mesh = Mesh(np.array(jax.devices()), ("ch",))
+
+    rx = Receiver(0, stereo=True, rds=True, pll_tier=3)
+    cfg = rx.cfg
+    wide_fs = 4 * cfg.rf_fs
+    offs = [-1_700_000, -600_000, 800_000, 2_300_000]
+    ch = Channelizer(cfg, wide_fs, offs)
+    rng = np.random.default_rng(17)   # identical capture on both procs
+    n = cfg.block_size_iq * ch.decim
+    iw = rng.standard_normal(n).astype(np.float32) * 0.2
+    qw = rng.standard_normal(n).astype(np.float32) * 0.2
+
+    sw = ShardedWideband(ch, rx, mesh)
+    cs, bs = sw.init_state()
+    cs, bs, out = sw.step(cs, bs, iw, qw)
+
+    # local unsharded oracle for the channels THIS process holds
+    import jax.numpy as jnp
+    cs_u, bs_u = ch.init_state(), rx.init_state(batch=(len(offs),))
+    (i_ds, q_ds), _ = ch(jnp.asarray(iw), jnp.asarray(qw), cs_u)
+    _, out_u = jax.vmap(rx.run_segment)(bs_u, ch.to_uint8(i_ds, q_ds))
+    ref_left = np.asarray(out_u.left)
+    ref_bits = np.asarray(out_u.rds_bits)
+    checked = 0
+    for shard in out.left.addressable_shards:
+        c0 = shard.index[0].start or 0
+        got = np.asarray(shard.data)
+        for j in range(got.shape[0]):
+            ref = ref_left[c0 + j]
+            snr = 10 * np.log10(np.mean(ref ** 2) /
+                                (np.mean((ref - got[j]) ** 2) + 1e-30))
+            assert snr > 70, f"st {c0+j}: {snr:.1f} dB"
+            checked += 1
+    assert checked == 2, checked   # 4 stations over 2 procs
+    for shard in out.rds_bits.addressable_shards:
+        c0 = shard.index[0].start or 0
+        got = np.asarray(shard.data)
+        assert (got == ref_bits[c0:c0 + got.shape[0]]).all()
+    print(f"WORKER_OK {pid}", flush=True)
+""")
+
+
+@pytest.mark.slow
+def test_two_process_sharded_wideband(tmp_path):
+    """Channelized wideband serving over a 2-process mesh: one replicated
+    capture, the station axis (channelizer output + bank) sharded across
+    processes; per-shard audio + bit-exact RDS vs the unsharded chain
+    (VERDICT r3 #4)."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _WORKER_WIDEBAND, str(port), str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            cwd=REPO)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out.decode(), err.decode()))
+    for pid, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"worker {pid} rc={rc}\n{err[-2000:]}"
+        assert f"WORKER_OK {pid}" in out
