@@ -303,17 +303,24 @@ def main() -> None:
             if not g or n_ch <= g or n_ch % g:
                 g = n_ch
             n_g = n_ch // g
-            per_ch_dev = benchkit.shifted_channel_segments(iq, n_ch, n_len)
             chunk_len = n_len // n_chunks
             if staged:
                 # host-staged cells: tail+pad baked in (steady-state
-                # cyclic tails), digest via run_segment_staged
-                per_ch_host = np.asarray(per_ch_dev)
+                # cyclic tails), digest via run_segment_staged. The
+                # shifted bank is built HOST-side — staging happens on
+                # the host anyway, and the device build would round-trip
+                # the whole capture through the tunnel twice.
+                per_ch_host = benchkit.shifted_channel_segments_host(
+                    iq, n_ch, n_len)
                 cells = benchkit.stage_cells(rx, per_ch_host, n_g, g,
                                              n_chunks, chunk_len)
-                digest_v = staged_digests.setdefault(
-                    chunk_len, benchkit.digest_step_staged(rx, chunk_len))
+                if chunk_len not in staged_digests:
+                    staged_digests[chunk_len] = \
+                        benchkit.digest_step_staged(rx, chunk_len)
+                digest_v = staged_digests[chunk_len]
             else:
+                per_ch_dev = benchkit.shifted_channel_segments(iq, n_ch,
+                                                               n_len)
                 digest_v = digest_plain
                 # cells[gi][k]: (g, chunk_len) uint8 for sub-bank gi, chunk k
                 cells = [[jax.device_put(

@@ -53,15 +53,16 @@ def main() -> None:
             sol = speed_of_light_report(rx, file=devnull)
         n_len = n_blk * 2 * cfg.block_size_iq
         iq, _ = synth.station_iq(cfg, n_blk)
-        seg = benchkit.shifted_channel_segments(iq, n_ch, n_len)
         st = rx.init_state(batch=(n_ch,))
         if hasattr(rx.frontend.rf_fir, "stage_segment"):
             # measure the production serving path: host-staged segments
-            # (bench.py --staged default; steady-state cyclic tail)
-            seg = benchkit.stage_cells(rx, np.asarray(seg), 1, n_ch, 1,
-                                       n_len)[0][0]
+            # (bench.py --staged default; steady-state cyclic tail). The
+            # shifted bank is built host-side — no tunnel round trip.
+            rows = benchkit.shifted_channel_segments_host(iq, n_ch, n_len)
+            seg = benchkit.stage_cells(rx, rows, 1, n_ch, 1, n_len)[0][0]
             step = benchkit.digest_step_staged(rx, n_len)
         else:
+            seg = benchkit.shifted_channel_segments(iq, n_ch, n_len)
             step = benchkit.digest_step(rx)
         t0 = time.perf_counter()
         s2, dig = step(st, seg)

@@ -41,14 +41,14 @@ def main() -> None:
     n_ch, n_blk = args.channels, args.blocks
     n_len = n_blk * 2 * cfg.block_size_iq
     iq, _ = synth.station_iq(cfg, n_blk)
-    seg = benchkit.shifted_channel_segments(iq, n_ch, n_len)
     st = rx.init_state(batch=(n_ch,))
     if hasattr(rx.frontend.rf_fir, "stage_segment"):
-        cell = benchkit.stage_cells(rx, np.asarray(seg), 1, n_ch, 1,
-                                    n_len)[0][0]
+        rows = benchkit.shifted_channel_segments_host(iq, n_ch, n_len)
+        cell = benchkit.stage_cells(rx, rows, 1, n_ch, 1, n_len)[0][0]
         step = benchkit.digest_step_staged(rx, n_len)
     else:
-        cell, step = seg, benchkit.digest_step(rx)
+        cell = benchkit.shifted_channel_segments(iq, n_ch, n_len)
+        step = benchkit.digest_step(rx)
 
     s2, dig = step(st, cell)
     float(np.asarray(dig).ravel()[0])  # compile + warm

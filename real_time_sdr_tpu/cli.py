@@ -41,6 +41,11 @@ def make_parser() -> argparse.ArgumentParser:
                     help="m=mono, s=stereo, r=stereo+RDS; default m")
     ap.add_argument("--input", default="-", help="raw uint8 IQ file, -=stdin")
     ap.add_argument("--output", default="-", help="PCM out, - = stdout")
+    ap.add_argument("--staged", choices=("auto", "0", "1"), default="auto",
+                    help="host-staged ingest (pallas frontend only): the "
+                         "read loop builds the padded [tail|segment|pad] "
+                         "operand so the device runs zero staging copies; "
+                         "0 = unstaged device graph")
     ap.add_argument("--pll-tier", type=int, default=1, choices=(1, 2, 3),
                     help="1=exact sequential PLL, 2=block-parallel Newton, "
                          "3=feedforward sync (fastest; approximates the "
@@ -334,8 +339,10 @@ def main(argv=None) -> int:
 
     if args.stations:
         return run_wideband(args, rx, cfg)
-    # host-staged ingest rides the pallas frontend's padded-operand path
-    use_staged = rx.frontend.impl in ("pallas", "pallas_interpret")
+    # host-staged ingest rides the pallas frontend's padded-operand path;
+    # --staged 0 falls back to the unstaged device graph (same frontend)
+    use_staged = (args.staged != "0"
+                  and rx.frontend.impl in ("pallas", "pallas_interpret"))
     block_bytes = 2 * cfg.block_size_iq
     budget = cfg.block_size_iq / cfg.rf_fs  # real-time seconds per block
 

@@ -65,6 +65,14 @@ _NO_BARRIER = frozenset(
 _FORCE_BARRIER = frozenset(
     t.strip() for t in os.environ.get("RTSDR_BARRIER", "").split(",")
     if t.strip())
+# f32 framed-matmul precision: HIGHEST (6-pass, exact f32) by default;
+# RTSDR_FIR_PREC=high selects the 3-pass bf16x3 algorithm (~2x MXU time
+# saved on every f32 FIR bank — the three IF/sync banks are the largest
+# MXU consumers at modes 1/3). Numerics gated on TPU before defaulting.
+_F32_PREC_NAME = os.environ.get("RTSDR_FIR_PREC", "highest")
+assert _F32_PREC_NAME in ("highest", "high"), (
+    f"RTSDR_FIR_PREC={_F32_PREC_NAME!r}: use 'highest' or 'high'")
+
 _DEFAULT_OFF = frozenset(("dualphase", "frontend", "chan"))
 # "chan" (the channelizer's MIX-mode wideband FIR stage): barrier-free is
 # ~3% faster at 64 stations with identical compile time (2026-08-19 A/B);
@@ -79,6 +87,11 @@ _DEFAULT_OFF = frozenset(("dualphase", "frontend", "chan"))
 # true when a new site is added.
 ALL_BARRIER_TAGS = frozenset(("pll", "polyfir", "shared", "frontend",
                               "dualphase", "chan", "chanfold"))
+
+
+def _f32_precision():
+    return (jax.lax.Precision.HIGH if _F32_PREC_NAME == "high"
+            else jax.lax.Precision.HIGHEST)
 
 
 def barrier(x, tag: str):
@@ -237,7 +250,7 @@ class PolyFIR:
             else:
                 y = jnp.einsum("...cj,jr->...cr", frames,
                                jnp.asarray(W, dtype=frames.dtype),
-                               precision=jax.lax.Precision.HIGHEST)
+                               precision=_f32_precision())
             y = y.reshape(y.shape[:-2] + (-1,))[..., :n_out]
         new_tail = (xx[..., xx.shape[-1] - self.tail_len:]
                     if self.tail_len else xx[..., :0])
@@ -281,7 +294,7 @@ def shared_frames_apply(firs: list["PolyFIR"], x: jax.Array,
     frames = jnp.concatenate(parts, axis=-1)[..., :J]
     y = jnp.einsum("...cj,jr->...cr", frames,
                    jnp.asarray(w_cat, dtype=frames.dtype),
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=_f32_precision())
     # y: (..., c_frames, n_filters*R) -> per-filter (..., n_out)
     outs = []
     for i in range(len(firs)):

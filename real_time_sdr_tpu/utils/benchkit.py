@@ -73,6 +73,18 @@ def tunnel_rt_floor(reps: int = 5) -> float:
     return best
 
 
+def shifted_channel_segments_host(iq, n_ch: int, n_len: int):
+    """Host (numpy) twin of shifted_channel_segments, for the STAGED
+    serving path: staging happens on the host anyway, so building the
+    shifted bank on device and fetching it back would round-trip the whole
+    capture through the ~40-60 ms tunnel twice for nothing."""
+    import numpy as np
+
+    base = np.asarray(iq[:n_len])
+    return np.stack([np.roll(base, -((2 * 997 * c) % n_len))
+                     for c in range(n_ch)])
+
+
 def digest_step_staged(rx, n2: int):
     """Staged twin of digest_step: segments arrive as HOST-staged padded
     operands (rx.frontend.stage_segment), so the device graph runs zero

@@ -34,3 +34,23 @@ except Exception:  # older jax: fall back to the XLA flag
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
+
+
+def mk_channelizer(cfg, wide_fs, offs, fold: bool):
+    """Construct a Channelizer with the fold mode pinned via its env knob
+    (read once at __init__); shared by the channelizer/parallel suites."""
+    import os
+    from real_time_sdr_tpu.models.channelizer import Channelizer
+
+    key = "RTSDR_CHAN_FOLD"
+    old = os.environ.get(key)
+    os.environ[key] = "1" if fold else "0"
+    try:
+        ch = Channelizer(cfg, wide_fs, offs)
+    finally:
+        if old is None:
+            del os.environ[key]
+        else:
+            os.environ[key] = old
+    assert ch.fold == fold
+    return ch

@@ -10,6 +10,7 @@ from real_time_sdr_tpu.models.receiver import Receiver
 from real_time_sdr_tpu.models.rds_framing import RdsFramer
 from real_time_sdr_tpu.parallel.channel import ChannelBank
 from real_time_sdr_tpu.utils import synth
+from conftest import mk_channelizer as _mk_chan
 
 
 @pytest.mark.slow
@@ -161,24 +162,6 @@ def test_bf16_channelizer_fir_parity():
             assert snr > 45, f"{seg}: bf16-vs-f32 {snr:.1f} dB"
     for leaf, name in ((sb.i_tails, "i_tails"), (sb.q_tails, "q_tails")):
         assert leaf.dtype == jnp.float32, name  # state contract preserved
-
-
-def _mk_chan(cfg, wide_fs, offs, fold: bool):
-    """Construct a Channelizer with the fold mode pinned via its env knob
-    (read once at __init__)."""
-    import os as _os
-    key = "RTSDR_CHAN_FOLD"
-    old = _os.environ.get(key)
-    _os.environ[key] = "1" if fold else "0"
-    try:
-        ch = Channelizer(cfg, wide_fs, offs)
-    finally:
-        if old is None:
-            del _os.environ[key]
-        else:
-            _os.environ[key] = old
-    assert ch.fold == fold
-    return ch
 
 
 def test_fold_matches_mix_then_filter():

@@ -279,28 +279,33 @@ def test_cli_incompatible_checkpoint_starts_fresh(station_file, tmp_path):
 
 def test_cli_staged_ingest_identical(station_file):
     """The host-staged ingest path (pallas frontend: padded operand built
-    by the read loop) must produce byte-identical PCM and the same RDS
-    decode as the unstaged XLA path."""
+    by the read loop) must produce BYTE-identical PCM and the same RDS
+    decode as the unstaged device graph running the SAME pallas frontend
+    (--staged 0 pins the unstaged baseline)."""
     path, truth, cfg = station_file
-    env_extra = {"RTSDR_FRONTEND": "pallas_interpret"}
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env.update(env_extra)
-    with open(path, "rb") as f:
-        r_staged = subprocess.run(
-            [sys.executable, "-m", "real_time_sdr_tpu.cli", "--cpu",
-             "0", "r", "--segment", "4", "--max-blocks", "8"],
-            stdin=f, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-            env=env, timeout=600)
+
+    def run(staged):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        env["RTSDR_FRONTEND"] = "pallas_interpret"
+        with open(path, "rb") as f:
+            return subprocess.run(
+                [sys.executable, "-m", "real_time_sdr_tpu.cli", "--cpu",
+                 "0", "r", "--segment", "4", "--max-blocks", "8",
+                 "--staged", staged],
+                stdin=f, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                env=env, timeout=600)
+
+    r_staged, r_plain = run("auto"), run("0")
     assert r_staged.returncode == 0, r_staged.stderr.decode()[-800:]
-    # same decode through the unstaged path (xla frontend)
-    r_plain = run_cli(["0", "r", "--segment", "4", "--max-blocks", "8"],
-                      path)
-    assert r_plain.returncode == 0
-    pcm_s = np.frombuffer(r_staged.stdout, dtype="<i2")
-    pcm_p = np.frombuffer(r_plain.stdout, dtype="<i2")
-    assert pcm_s.shape == pcm_p.shape
-    # pallas vs xla frontends differ in rounding; gate on audio SNR
-    a, b = pcm_s.astype(np.float64), pcm_p.astype(np.float64)
-    snr = 10 * np.log10(np.mean(b ** 2) / (np.mean((a - b) ** 2) + 1e-30))
-    assert snr > 60, f"staged-vs-plain PCM SNR {snr:.1f} dB"
+    assert r_plain.returncode == 0, r_plain.stderr.decode()[-800:]
+    assert r_staged.stdout == r_plain.stdout  # byte-identical PCM
+    assert len(r_staged.stdout) == 8 * cfg.audio_block * 2 * 2
+    # RDS decode parity (8 blocks is too short for a full PS decode —
+    # test_cli_stereo_rds covers that; here the gate is stderr equality
+    # of whatever decoded)
+    keep = [l for l in r_staged.stderr.decode().splitlines()
+            if l.startswith(("PI:", "PTY:", "Program Service:"))]
+    keep_p = [l for l in r_plain.stderr.decode().splitlines()
+              if l.startswith(("PI:", "PTY:", "Program Service:"))]
+    assert keep == keep_p

@@ -201,8 +201,7 @@ def test_sharded_wideband_matches_unsharded(fold):
     channelize->decode chain: audio to f32 tolerance, RDS bit decisions
     bit-exact — in BOTH channelizer modes (folded-tone and
     mix-then-filter), across two carried-state segments."""
-    import os
-    from real_time_sdr_tpu.models.channelizer import Channelizer
+    from conftest import mk_channelizer
     from real_time_sdr_tpu.parallel.wideband import ShardedWideband
 
     rx = Receiver(0, stereo=True, rds=True, pll_tier=3)
@@ -210,17 +209,7 @@ def test_sharded_wideband_matches_unsharded(fold):
     wide_fs = 4 * cfg.rf_fs
     n_st = 8
     offs = [int((k - (n_st - 1) / 2) * 300_000) for k in range(n_st)]
-    key = "RTSDR_CHAN_FOLD"
-    old = os.environ.get(key)
-    os.environ[key] = "1" if fold else "0"
-    try:
-        ch = Channelizer(cfg, wide_fs, offs)
-    finally:
-        if old is None:
-            del os.environ[key]
-        else:
-            os.environ[key] = old
-    assert ch.fold == fold
+    ch = mk_channelizer(cfg, wide_fs, offs, fold)
 
     rng = np.random.default_rng(11)
     nseg = 2 * cfg.block_size_iq * ch.decim
