@@ -65,13 +65,19 @@ _NO_BARRIER = frozenset(
 _FORCE_BARRIER = frozenset(
     t.strip() for t in os.environ.get("RTSDR_BARRIER", "").split(",")
     if t.strip())
-# f32 framed-matmul precision: HIGHEST (6-pass, exact f32) by default;
-# RTSDR_FIR_PREC=high selects the 3-pass bf16x3 algorithm (~2x MXU time
-# saved on every f32 FIR bank — the three IF/sync banks are the largest
-# MXU consumers at modes 1/3). Numerics gated on TPU before defaulting.
-_F32_PREC_NAME = os.environ.get("RTSDR_FIR_PREC", "highest")
-assert _F32_PREC_NAME in ("highest", "high"), (
-    f"RTSDR_FIR_PREC={_F32_PREC_NAME!r}: use 'highest' or 'high'")
+# f32 framed-matmul precision. On TPU the default is HIGH — the 3-pass
+# bf16x3 algorithm — instead of HIGHEST (6-pass exact f32): the three
+# IF/sync FIR banks are the largest MXU consumers in the receiver, and
+# the A/B (v5e 32x12 staged, 2026-08-20) measured -13..-15% us/blk/ch on
+# EVERY mode with full-chain audio at 98.1 dB vs the 6-pass path (above
+# the int16 PCM floor) and all stereo/RDS decode gates green. This is the
+# SECOND sanctioned exception to the f32-HIGHEST rule (CLAUDE.md; the
+# first is the bf16 channelizer FIR). Elsewhere (CPU/GPU) precision is a
+# no-op for f32 dots, so the exact default stays. RTSDR_FIR_PREC=
+# highest|high overrides.
+_F32_PREC_NAME = os.environ.get("RTSDR_FIR_PREC", "auto")
+assert _F32_PREC_NAME in ("auto", "highest", "high"), (
+    f"RTSDR_FIR_PREC={_F32_PREC_NAME!r}: use 'auto', 'highest' or 'high'")
 
 _DEFAULT_OFF = frozenset(("dualphase", "frontend", "chan"))
 # "chan" (the channelizer's MIX-mode wideband FIR stage): barrier-free is
@@ -90,7 +96,11 @@ ALL_BARRIER_TAGS = frozenset(("pll", "polyfir", "shared", "frontend",
 
 
 def _f32_precision():
-    return (jax.lax.Precision.HIGH if _F32_PREC_NAME == "high"
+    name = _F32_PREC_NAME
+    if name == "auto":
+        name = ("high" if jax.default_backend() in ("tpu", "axon")
+                else "highest")
+    return (jax.lax.Precision.HIGH if name == "high"
             else jax.lax.Precision.HIGHEST)
 
 
