@@ -397,9 +397,8 @@ def main() -> None:
                 (n_wb, wb_seg * block_pairs)).astype(np.float32) * 0.1)
 
             def wb_step(cstate, bstate, i, q):
-                (i_ds, q_ds), cstate = ch(i, q, cstate)
-                bstate, out = jax.vmap(rx.run_segment)(
-                    bstate, ch.to_uint8(i_ds, q_ds))
+                u8, cstate = ch.call_u8(i, q, cstate)
+                bstate, out = jax.vmap(rx.run_segment)(bstate, u8)
                 sums = [jnp.sum(o if o.dtype != jnp.int32
                                 else o.astype(jnp.float32))
                         for o in jax.tree_util.tree_leaves(out)]

@@ -49,8 +49,8 @@ def main() -> None:
 
     @jax.jit
     def step(cstate, bstate, i, q):
-        (i_ds, q_ds), cstate = ch(i, q, cstate)
-        bstate, out = jax.vmap(rx.step)(bstate, ch.to_uint8(i_ds, q_ds))
+        u8, cstate = ch.call_u8(i, q, cstate)
+        bstate, out = jax.vmap(rx.step)(bstate, u8)
         return cstate, bstate, out
 
     cstate = ch.init_state()

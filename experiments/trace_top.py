@@ -9,9 +9,6 @@ Usage: python experiments/trace_top.py [--mode 1] [--top 20] [--reps 8]
 from __future__ import annotations
 
 import argparse
-import glob
-import gzip
-import json
 import os
 import sys
 import time
@@ -50,47 +47,20 @@ def main() -> None:
         cell = benchkit.shifted_channel_segments(iq, n_ch, n_len)
         step = benchkit.digest_step(rx)
 
+    from experiments.tracekit import profile_reps, rank_kernels
+
     s2, dig = step(st, cell)
     float(np.asarray(dig).ravel()[0])  # compile + warm
 
-    import shutil
-    shutil.rmtree(args.trace_dir, ignore_errors=True)
-    jax.profiler.start_trace(args.trace_dir)
-    s = st
-    for _ in range(args.reps):
-        s, dig = step(s, cell)
-    float(np.asarray(dig).ravel()[0])
-    jax.profiler.stop_trace()
+    def run():
+        s, dig = st, None
+        for _ in range(args.reps):
+            s, dig = step(s, cell)
+        float(np.asarray(dig).ravel()[0])
 
-    paths = glob.glob(os.path.join(args.trace_dir,
-                                   "**/*.trace.json.gz"), recursive=True)
-    assert paths, f"no trace under {args.trace_dir}"
-    with gzip.open(max(paths, key=os.path.getmtime), "rt") as f:
-        tr = json.load(f)
-    # device-lane complete events only (TPU ops have their xla op name in
-    # the event name; host threads are filtered by requiring args.run_id
-    # or a device-ish pid name)
-    pids = {p["pid"]: p.get("args", {}).get("name", "")
-            for p in tr["traceEvents"] if p.get("ph") == "M"
-            and p.get("name") == "process_name"}
-    dev_pids = {pid for pid, name in pids.items()
-                if "TPU" in name or "/device:" in name or "XLA" in name}
-    totals: dict[str, float] = {}
-    counts: dict[str, int] = {}
-    for ev in tr["traceEvents"]:
-        if ev.get("ph") != "X":
-            continue
-        if dev_pids and ev.get("pid") not in dev_pids:
-            continue
-        name = ev.get("name", "?")
-        totals[name] = totals.get(name, 0.0) + ev.get("dur", 0.0)
-        counts[name] = counts.get(name, 0) + 1
-    grand = sum(totals.values())
-    print(f"# mode {args.mode} {n_ch}x{n_blk}, {args.reps} reps; device "
-          f"total {grand/1e3:.2f} ms ({grand/1e3/args.reps:.3f} ms/run)")
-    for name, tot in sorted(totals.items(), key=lambda kv: -kv[1])[:args.top]:
-        print(f"{tot/args.reps:9.1f} us/run  x{counts[name]//args.reps:<4d}"
-              f" {name[:110]}")
+    profile_reps(args.trace_dir, run)
+    rank_kernels(args.trace_dir, args.reps, args.top,
+                 header=f"mode {args.mode} {n_ch}x{n_blk}: ")
 
 
 if __name__ == "__main__":

@@ -63,8 +63,8 @@ def main() -> None:
     qw = jnp.asarray(rng.standard_normal((n,)).astype(np.float32) * 0.1)
 
     def step(cstate, bstate, i, q):
-        (i_ds, q_ds), cstate = ch(i, q, cstate)
-        bstate, out = bank.run_segment(bstate, ch.to_uint8(i_ds, q_ds))
+        u8, cstate = ch.call_u8(i, q, cstate)
+        bstate, out = bank.run_segment(bstate, u8)
         sums = [jnp.sum(o if o.dtype != jnp.int32 else o.astype(jnp.float32))
                 for o in jax.tree_util.tree_leaves(out)]
         return cstate, bstate, sum(sums)
@@ -101,9 +101,9 @@ def main() -> None:
         for s0 in range(0, nb, args.seg):
             blks = min(args.seg, nb - s0)
             sl = slice(s0 * block_pairs, (s0 + blks) * block_pairs)
-            (i_ds, q_ds), cs = ch(jnp.asarray(iw2[sl]), jnp.asarray(qw2[sl]),
-                                  cs)
-            bs, out = bank.run_segment(bs, ch.to_uint8(i_ds, q_ds))
+            u8, cs = ch.call_u8(jnp.asarray(iw2[sl]), jnp.asarray(qw2[sl]),
+                                cs)
+            bs, out = bank.run_segment(bs, u8)
             nbits = np.asarray(out.rds_nbits)
             bits = np.asarray(out.rds_bits)
             for k in picks:

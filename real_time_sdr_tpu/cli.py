@@ -218,8 +218,8 @@ def run_wideband(args, rx, cfg) -> int:
     if args.warmup:
         t0 = time.perf_counter()
         zi = jnp.zeros((seg_n * block_pairs,), jnp.float32)
-        (wi, wq), _ = ch(zi, zi, cstate)     # discarded: state untouched
-        _, wout = bank.run_segment(bstate, ch.to_uint8(wi, wq))
+        w8, _ = ch.call_u8(zi, zi, cstate)   # discarded: state untouched
+        _, wout = bank.run_segment(bstate, w8)
         np.asarray(jax.tree_util.tree_leaves(wout)[0]).ravel()[:1]
         print(f"warmed up (compiled) in {time.perf_counter()-t0:.1f} s",
               file=sys.stderr)
@@ -269,9 +269,8 @@ def run_wideband(args, rx, cfg) -> int:
         t0 = time.perf_counter()
         x = (np.frombuffer(buf[:nb_got * 2 * block_pairs], dtype=np.uint8)
              .astype(np.float32) - 128.0) / 128.0
-        (i_ds, q_ds), cstate = ch(jnp.asarray(x[0::2]), jnp.asarray(x[1::2]),
-                                  cstate)
-        u8 = ch.to_uint8(i_ds, q_ds)
+        u8, cstate = ch.call_u8(jnp.asarray(x[0::2]), jnp.asarray(x[1::2]),
+                                cstate)
         bstate, out = bank.run_segment(bstate, u8)  # async dispatch
         if rx.stereo:
             pcms = [stereo_pcm(out.left[k], out.right[k])

@@ -124,6 +124,7 @@ class Channelizer:
         # mix-then-filter; RTSDR_CHAN_FOLD_R tunes outputs-per-frame.
         self.fold = bool(self.tone_period) and (
             os.environ.get("RTSDR_CHAN_FOLD", "1") != "0")
+        self._fold_static = False
         if self.fold:
             self._init_fold(taps,
                             int(os.environ.get("RTSDR_CHAN_FOLD_R", "8")))
@@ -139,10 +140,40 @@ class Channelizer:
 
             v_re = i (*) hc - q (*) hs        hc[s,t] = h[t] cos(w_s t)
             v_im = i (*) hs + q (*) hc        hs[s,t] = h[t] sin(w_s t)
-        """
+
+        STATIC-TONE fold (the default when the output-rate tone lcm `lo`
+        is small, e.g. 8 on the 64-station 300 kHz raster, 24 on a
+        100 kHz raster): pick R = lcm(R, lo); then the output tone
+        e^{-j*w_s*D*m} at m = c*R + r splits as theta(r) + theta(pos),
+        because e^{-j*w_s*D*R*c} == 1 exactly (integer phase: (f*d*R) %
+        p == 0 for every station). theta(r) is STATIC and folds into the
+        weight columns; only the per-segment theta(pos) — one (S,) scalar
+        rotation — remains at runtime. The (S, n_out) tone tables, their
+        tile/relayout traffic, and the f32 transpose epilogue all vanish
+        (the 2026-08-20 64-station trace charged them ~10 ms/run of the
+        21.5 ms total). RTSDR_CHAN_FOLD_STATIC=0 restores the runtime
+        tone; RTSDR_CHAN_FOLD_STATIC_MAX (default 32) caps the lo that
+        may be promoted (J = taps + (R-1)*D grows with R, adding MXU
+        work: +18% at R=8, +60% at R=24 over the tap-only frame)."""
         import math as _math
         p, d, s_ch = self.wide_fs, self.decim, len(self.offsets)
         h, k_taps = self._h64, taps
+        # output-rate tone e^{-j*w_s*D*u}: period divides the input lcm
+        pers = [p // _math.gcd((f * d) % p, p) if (f * d) % p else 1
+                for f in self.offsets]
+        lo = 1
+        for q in pers:
+            lo = lo * q // _math.gcd(lo, q)
+        assert lo <= self.tone_period  # divides the input-rate lcm
+        self._fold_L = lo
+        cap = int(os.environ.get("RTSDR_CHAN_FOLD_STATIC_MAX", "32"))
+        self._fold_static = (
+            os.environ.get("RTSDR_CHAN_FOLD_STATIC", "1") != "0"
+            and lo <= cap)
+        r_n = max(1, fold_r)
+        if self._fold_static:
+            r_n = r_n * lo // _math.gcd(r_n, lo)    # lo | R
+        j_w = k_taps + (r_n - 1) * d        # window samples per frame
         t = np.arange(k_taps, dtype=np.int64)
         hc = np.empty((s_ch, k_taps))
         hs = np.empty((s_ch, k_taps))
@@ -151,8 +182,6 @@ class Channelizer:
             ang = 2.0 * np.pi * ((fr * t) % p).astype(np.float64) / p
             hc[si] = h * np.cos(ang)
             hs[si] = h * np.sin(ang)
-        r_n = max(1, fold_r)
-        j_w = k_taps + (r_n - 1) * d        # window samples per frame
         w2 = np.zeros((2 * j_w, r_n * 2 * s_ch))
         cols_s = np.arange(s_ch)[:, None]   # (S, 1) station columns
         for r in range(r_n):
@@ -164,23 +193,38 @@ class Channelizer:
             w2[j_w + rows, base + cols_s] = -hs
             w2[rows, base + s_ch + cols_s] = hs
             w2[j_w + rows, base + s_ch + cols_s] = hc
+        u = np.arange(max(lo, r_n), dtype=np.int64)
+        ang = np.stack([-2.0 * np.pi
+                        * ((((f * d) % p) * u) % p).astype(np.float64) / p
+                        for f in self.offsets])     # (S, max(lo, R))
+        if self._fold_static:
+            # rotate each (re, im) column pair by the static r-part of
+            # the tone: v' = v * e^{j*theta(r)} folded into the weights
+            uc_r, us_r = np.cos(ang[:, :r_n]), np.sin(ang[:, :r_n])
+            for r in range(r_n):
+                base = r * 2 * s_ch
+                cre = base + np.arange(s_ch)
+                cim = base + s_ch + np.arange(s_ch)
+                wre, wim = w2[:, cre].copy(), w2[:, cim].copy()
+                w2[:, cre] = wre * uc_r[:, r] - wim * us_r[:, r]
+                w2[:, cim] = wim * uc_r[:, r] + wre * us_r[:, r]
         self._fold_R, self._fold_J = r_n, j_w
         self._fold_W = w2.astype(np.float32)
         self._fold_tail = k_taps - 1
-        # output-rate tone e^{-j*w_s*D*u}: period divides the input lcm
-        pers = [p // _math.gcd((f * d) % p, p) if (f * d) % p else 1
-                for f in self.offsets]
-        lo = 1
-        for q in pers:
-            lo = lo * q // _math.gcd(lo, q)
-        assert lo <= self.tone_period  # divides the input-rate lcm
-        self._fold_L = lo
-        u = np.arange(lo, dtype=np.int64)
-        ang = np.stack([-2.0 * np.pi
-                        * ((((f * d) % p) * u) % p).astype(np.float64) / p
-                        for f in self.offsets])
-        self._fold_uc = jnp.asarray(np.cos(ang).astype(np.float32))
-        self._fold_us = jnp.asarray(np.sin(ang).astype(np.float32))
+        self._fold_uc = jnp.asarray(np.cos(ang[:, :lo]).astype(np.float32))
+        self._fold_us = jnp.asarray(np.sin(ang[:, :lo]).astype(np.float32))
+        # residual pos-rotation tables, (lo, S) for one-row dynamic_slice
+        self._fold_pc = jnp.asarray(
+            np.cos(ang[:, :lo]).T.astype(np.float32))
+        self._fold_ps = jnp.asarray(
+            np.sin(ang[:, :lo]).T.astype(np.float32))
+        # static lane-major sign for the 2-D u8 epilogue: within each
+        # 2S-lane group the first S lanes are the real rail (rotation
+        # subtracts the partner), the next S add it
+        lane = np.arange(r_n * 2 * s_ch)
+        self._fold_sign = jnp.asarray(
+            np.where((lane % (2 * s_ch)) < s_ch, -1.0, 1.0)
+            .astype(np.float32))
         self._fold_plan_cache: dict[int, tuple] = {}
 
     def _tones(self, n: int):
@@ -247,7 +291,7 @@ class Channelizer:
         return jnp.concatenate(parts, axis=-1)[:, :self._fold_J]
 
     def _fold_call(self, i_wide: jax.Array, q_wide: jax.Array,
-                   state: ChannelizerState):
+                   state: ChannelizerState, emit: str = "f32"):
         from real_time_sdr_tpu.ops.fir import barrier
         n = i_wide.shape[-1]
         plan = self._fold_plan(n)
@@ -274,29 +318,66 @@ class Channelizer:
         else:
             y = jnp.einsum("cj,jr->cr", fr, jnp.asarray(self._fold_W),
                            precision=jax.lax.Precision.HIGHEST)
-        # r-major columns: (c, R*2S) reshapes straight to (n_out, 2S)
-        v = y.reshape(-1, 2 * s_ch)[:n_out].T        # (2S, n_out) f32
-        v_re, v_im = v[:s_ch], v[s_ch:]
-        # decimated-rate tone e^{-j*w*D*(pos+m)}, integer-exact roll
         lo = self._fold_L
         pos = state.pos % lo
+        if self._fold_static:
+            # weights already carry theta(r); only the per-segment
+            # theta(pos) scalar rotation remains. All elementwise work
+            # happens in the einsum's own (c, R*2S) layout; `emit="u8"`
+            # additionally quantizes BEFORE the station-major transpose
+            # so the single relayout moves uint8, not f32.
+            r_n = self._fold_R
+            pc = jax.lax.dynamic_slice_in_dim(self._fold_pc, pos, 1, 0)[0]
+            ps = jax.lax.dynamic_slice_in_dim(self._fold_ps, pos, 1, 0)[0]
+            if emit == "u8":
+                # (an all-2-D lane-algebra variant — partner via size-2
+                # reverse + tiled lane tables — measured SLOWER: XLA
+                # materializes the 451 MB rev and still relayouts, 17.7x
+                # vs 20.4x at 64 stations, 2026-08-20)
+                y4 = y.reshape(-1, r_n, 2, s_ch)
+                vr, vi = y4[:, :, 0, :], y4[:, :, 1, :]      # (c, R, S)
+                i_full = vr * pc - vi * ps
+                q_full = vi * pc + vr * ps
+                z = jnp.stack([i_full, q_full], axis=-1)     # (c, R, S, 2)
+                u8 = jnp.clip(jnp.round(128.0 + 127.0 * z), 0, 255
+                              ).astype(jnp.uint8)
+                out = u8.transpose(2, 0, 1, 3).reshape(s_ch, -1)
+                out = out[:, :2 * n_out]
+            else:
+                y4 = y.reshape(-1, r_n, 2, s_ch)
+                vr, vi = y4[:, :, 0, :], y4[:, :, 1, :]      # (c, R, S)
+                i_full = vr * pc - vi * ps
+                q_full = vi * pc + vr * ps
+                i_ds = i_full.transpose(2, 0, 1).reshape(s_ch, -1)[:, :n_out]
+                q_ds = q_full.transpose(2, 0, 1).reshape(s_ch, -1)[:, :n_out]
+        else:
+            # r-major columns: (c, R*2S) reshapes straight to (n_out, 2S)
+            v = y.reshape(-1, 2 * s_ch)[:n_out].T        # (2S, n_out) f32
+            v_re, v_im = v[:s_ch], v[s_ch:]
 
-        def roll(tbl):
-            doubled = jnp.concatenate([tbl, tbl], axis=-1)
-            rolled = jax.lax.dynamic_slice_in_dim(doubled, pos, lo, axis=-1)
-            return jnp.tile(rolled, (1, -(-n_out // lo)))[:, :n_out]
+            # decimated-rate tone e^{-j*w*D*(pos+m)}, integer-exact roll
+            def roll(tbl):
+                doubled = jnp.concatenate([tbl, tbl], axis=-1)
+                rolled = jax.lax.dynamic_slice_in_dim(doubled, pos, lo,
+                                                      axis=-1)
+                return jnp.tile(rolled, (1, -(-n_out // lo)))[:, :n_out]
 
-        uc, us = roll(self._fold_uc), roll(self._fold_us)
-        # (v_re + j v_im) * (uc + j us): the tables hold the -w angle, so
-        # this is the same plain complex multiply as the mixing path
-        i_ds = uc * v_re - us * v_im
-        q_ds = uc * v_im + us * v_re
+            uc, us = roll(self._fold_uc), roll(self._fold_us)
+            # (v_re + j v_im) * (uc + j us): the tables hold the -w
+            # angle, so this is the same plain complex multiply as the
+            # mixing path
+            i_ds = uc * v_re - us * v_im
+            q_ds = uc * v_im + us * v_re
+            if emit == "u8":
+                out = self.to_uint8(i_ds, q_ds)
         # raw-rail tails straight from the f32 inputs (no bf16 round-trip)
         tl = self._fold_tail
         i_t = jnp.concatenate([state.i_tails, i_wide[None]], -1)[:, -tl:]
         q_t = jnp.concatenate([state.q_tails, q_wide[None]], -1)[:, -tl:]
         new = ChannelizerState(i_t, q_t, state.ph_re, state.ph_im,
                                (state.pos + n_out) % lo)
+        if emit == "u8":
+            return out, new
         return (i_ds, q_ds), new
 
     def _periodic_tones(self, n: int, pos: jax.Array):
@@ -356,6 +437,21 @@ class Channelizer:
             new = ChannelizerState(i_tails, q_tails, pr * norm, pi_ * norm,
                                    state.pos)
         return (i_ds, q_ds), new
+
+    def call_u8(self, i_wide: jax.Array, q_wide: jax.Array,
+                state: ChannelizerState):
+        """Channelize straight to the receivers' interleaved uint8
+        interface: (u8 (S, 2*N//decim), new state).
+
+        Same math as ``to_uint8(*self(i, q, state))`` (bit-identical in
+        static-tone fold mode — quantization commutes elementwise with
+        the transpose), but the fused epilogue quantizes before the
+        station-major relayout so the (2S, n_out) f32 intermediates never
+        reach HBM. All wideband serving paths should use this entry."""
+        if self.fold and self.tone_period and self._fold_static:
+            return self._fold_call(i_wide, q_wide, state, emit="u8")
+        (i_ds, q_ds), st = self(i_wide, q_wide, state)
+        return self.to_uint8(i_ds, q_ds), st
 
     def to_uint8(self, i_ds: jax.Array, q_ds: jax.Array) -> jax.Array:
         """Re-encode station basebands to the receivers' interleaved uint8

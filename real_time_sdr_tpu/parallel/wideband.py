@@ -77,11 +77,18 @@ class ShardedWideband:
     # -- the fused step ------------------------------------------------------
 
     def _step(self, cstate, bstate, i_wide, q_wide):
-        (i_ds, q_ds), cstate = self.ch(i_wide, q_wide, cstate)
-        i_ds = jax.lax.with_sharding_constraint(i_ds, self._sh_ch2)
-        q_ds = jax.lax.with_sharding_constraint(q_ds, self._sh_ch2)
-        u8 = jax.lax.with_sharding_constraint(
-            self.ch.to_uint8(i_ds, q_ds), self._sh_ch2)
+        if self.ch._fold_static:
+            # fused epilogue: the (S, n_out) f32 rails never materialize;
+            # the station shard constraint rides the u8 output (columns of
+            # the fold matmul partition by station exactly as before)
+            u8, cstate = self.ch.call_u8(i_wide, q_wide, cstate)
+            u8 = jax.lax.with_sharding_constraint(u8, self._sh_ch2)
+        else:
+            (i_ds, q_ds), cstate = self.ch(i_wide, q_wide, cstate)
+            i_ds = jax.lax.with_sharding_constraint(i_ds, self._sh_ch2)
+            q_ds = jax.lax.with_sharding_constraint(q_ds, self._sh_ch2)
+            u8 = jax.lax.with_sharding_constraint(
+                self.ch.to_uint8(i_ds, q_ds), self._sh_ch2)
         bstate, out = jax.vmap(self.rx.run_segment)(bstate, u8)
         return cstate, bstate, out
 

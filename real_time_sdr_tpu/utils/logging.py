@@ -59,11 +59,22 @@ class BlockTimer:
 
 
 # Per-chip peaks for speed-of-light accounting. TPU v5e (one chip):
-# 197 TFLOP/s bf16 MXU, ~819 GB/s HBM. f32 einsum at HIGHEST precision runs
-# as a 6-pass bf16 emulation -> ~1/6 of bf16 peak.
+# 197 TFLOP/s bf16 MXU, ~819 GB/s HBM. f32 einsum runs as a bf16
+# emulation: 6 passes at HIGHEST, 3 at HIGH (bf16x3) — the production
+# default on TPU since 2026-08-20 (ops/fir._f32_precision), so the f32
+# peak tracks the selected precision to keep pct-of-floor meaningful.
 V5E_BF16_FLOPS = 197e12
-V5E_F32_FLOPS = V5E_BF16_FLOPS / 6.0
 V5E_HBM_BPS = 819e9
+
+
+def _f32_passes() -> int:
+    import jax
+    from ..ops.fir import _f32_precision
+    return 6 if _f32_precision() == jax.lax.Precision.HIGHEST else 3
+
+
+def _f32_flops() -> float:
+    return V5E_BF16_FLOPS / _f32_passes()
 
 
 def stage_costs(rx) -> list[tuple[str, dict]]:
@@ -118,7 +129,7 @@ def speed_of_light_report(rx, file=None) -> dict:
     print(f"# speed-of-light, one channel, one block "
           f"({budget*1e3:.2f} ms of signal):", file=file)
     for name, c in rows:
-        peak = V5E_BF16_FLOPS if "bf16" in c["kind"] else V5E_F32_FLOPS
+        peak = V5E_BF16_FLOPS if "bf16" in c["kind"] else _f32_flops()
         t_f = c["flops"] / peak
         t_b = c["bytes"] / V5E_HBM_BPS
         t = max(t_f, t_b)

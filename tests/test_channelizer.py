@@ -197,6 +197,71 @@ def test_fold_matches_mix_then_filter():
             assert snr > 110, f"{seg} {rail}: fold-vs-mix {snr:.1f} dB"
 
 
+def test_fold_runtime_tone_matches_mix():
+    """The runtime-tone fold fallback (RTSDR_CHAN_FOLD_STATIC=0, used
+    when the output-rate tone lcm exceeds the promotion cap) must also
+    equal mix-then-filter — keeps the non-static branch covered now that
+    real rasters default to the static-tone fold."""
+    import os as _os
+    rx = Receiver(0, stereo=False, rds=False)
+    cfg = rx.cfg
+    wide_fs = 8 * cfg.rf_fs
+    offs = [-3_700_000, 800_000, 2_300_000]
+    _os.environ["RTSDR_CHAN_FOLD_STATIC"] = "0"
+    try:
+        ch_f = _mk_chan(cfg, wide_fs, offs, fold=True)
+    finally:
+        del _os.environ["RTSDR_CHAN_FOLD_STATIC"]
+    assert not ch_f._fold_static
+    ch_m = _mk_chan(cfg, wide_fs, offs, fold=False)
+
+    rng = np.random.default_rng(41)
+    n = 2 * cfg.block_size_iq * ch_f.decim
+    iw = jnp.asarray(rng.standard_normal((n,)).astype(np.float32) * 0.3)
+    qw = jnp.asarray(rng.standard_normal((n,)).astype(np.float32) * 0.3)
+    sf, sm = ch_f.init_state(), ch_m.init_state()
+    for seg in (slice(0, n // 2), slice(n // 2, n)):
+        (i_f, q_f), sf = ch_f(iw[seg], qw[seg], sf)
+        (i_m, q_m), sm = ch_m(iw[seg], qw[seg], sm)
+        for a, b, rail in ((i_f, i_m, "i"), (q_f, q_m, "q")):
+            a, b = np.asarray(a), np.asarray(b)
+            snr = 10 * np.log10(np.mean(b ** 2) /
+                                (np.mean((a - b) ** 2) + 1e-30))
+            assert snr > 110, f"{seg} {rail}: runtime-fold {snr:.1f} dB"
+
+
+def test_call_u8_bit_exact_vs_two_step():
+    """call_u8 (fused quantize-before-transpose epilogue) must be
+    BIT-IDENTICAL to to_uint8(*__call__) in every tone mode — the
+    quantization commutes elementwise with the relayout — including
+    across segments where the static-fold residual pos-rotation is
+    non-trivial (1-block segments shift pos by block_size % lo != 0)."""
+    rx = Receiver(0, stereo=False, rds=False)
+    cfg = rx.cfg
+    wide_fs = 8 * cfg.rf_fs
+    offs = [-3_700_000, -1_300_000, 800_000, 2_300_000]  # lo=24: static
+    for fold in (True, False):
+        ch = _mk_chan(cfg, wide_fs, offs, fold=fold)
+        if fold:
+            assert ch._fold_static
+            assert cfg.block_size_iq % ch._fold_L != 0  # pos moves
+        rng = np.random.default_rng(5)
+        n = 2 * cfg.block_size_iq * ch.decim
+        iw = jnp.asarray(rng.standard_normal((n,)).astype(np.float32) * .3)
+        qw = jnp.asarray(rng.standard_normal((n,)).astype(np.float32) * .3)
+        sa = sb = ch.init_state()
+        for seg in (slice(0, n // 2), slice(n // 2, n)):
+            u8_a, sa = ch.call_u8(iw[seg], qw[seg], sa)
+            (i_ds, q_ds), sb = ch(iw[seg], qw[seg], sb)
+            u8_b = ch.to_uint8(i_ds, q_ds)
+            np.testing.assert_array_equal(np.asarray(u8_a),
+                                          np.asarray(u8_b))
+        import jax
+        for la, lb in zip(jax.tree_util.tree_leaves(sa),
+                          jax.tree_util.tree_leaves(sb)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
 def test_fold_state_checkpoint_roundtrip():
     """Fold-mode ChannelizerState (raw-rail (1, T-1) tails + output-rate
     pos) must round-trip through utils/state.py save/load (the npz state
