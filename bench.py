@@ -380,9 +380,13 @@ def main() -> None:
             wide_fs = 4 * cfg.rf_fs
             n_st = args.wideband
             span = wide_fs // 2 - cfg.rf_fs // 2
-            offs = [int(-span + (2 * span) * k / max(n_st - 1, 1))
-                    for k in range(n_st)]
+            # snap to the 100 kHz FM channel raster (real tuners do):
+            # keeps the periodic-exact tones AND the static-tone fold
+            offs = [int(round((-span + (2 * span) * k / max(n_st - 1, 1))
+                              / 100e3) * 100e3) for k in range(n_st)]
             ch = Channelizer(cfg, wide_fs, offs)
+            from real_time_sdr_tpu.parallel.channel import ChannelBank
+            bank = ChannelBank(rx, n_st)
             # segment serving (same shape rule as the station bank): one
             # device call channelizes + decodes wb_seg blocks — per-block
             # dispatch measured 6x realtime where this form reaches the
@@ -397,8 +401,8 @@ def main() -> None:
                 (n_wb, wb_seg * block_pairs)).astype(np.float32) * 0.1)
 
             def wb_step(cstate, bstate, i, q):
-                u8, cstate = ch.call_u8(i, q, cstate)
-                bstate, out = jax.vmap(rx.run_segment)(bstate, u8)
+                bstate, out, cstate = bank.run_channelized(
+                    bstate, ch, i, q, cstate)
                 sums = [jnp.sum(o if o.dtype != jnp.int32
                                 else o.astype(jnp.float32))
                         for o in jax.tree_util.tree_leaves(out)]

@@ -52,8 +52,7 @@ def main() -> None:
     qw = jnp.asarray(rng.standard_normal((n,)).astype(np.float32) * 0.1)
 
     def step(cstate, bstate, i, q):
-        u8, cstate = ch.call_u8(i, q, cstate)
-        bstate, out = bank.run_segment(bstate, u8)
+        bstate, out, cstate = bank.run_channelized(bstate, ch, i, q, cstate)
         sums = [jnp.sum(o if o.dtype != jnp.int32 else o.astype(jnp.float32))
                 for o in jax.tree_util.tree_leaves(out)]
         return cstate, bstate, sum(sums)

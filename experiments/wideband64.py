@@ -25,9 +25,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--stations", type=int, default=64)
-    ap.add_argument("--seg", type=int, default=12,
-                    help="wideband blocks per device call (12 measured "
-                         "best on v5e: 15.5x vs 12.8x at 4, 2026-08-20)")
+    ap.add_argument("--seg", type=int, default=24,
+                    help="wideband blocks per device call (24 measured "
+                         "best on v5e with the Mosaic epilogue: 24.2x vs "
+                         "21.3x at 12, 23.0x at 48 — amortizes the "
+                         "per-dispatch tunnel gap; 2026-08-20)")
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--decode-check", action="store_true",
                     help="also synthesize 3 real stations in the scene and "
@@ -63,8 +65,7 @@ def main() -> None:
     qw = jnp.asarray(rng.standard_normal((n,)).astype(np.float32) * 0.1)
 
     def step(cstate, bstate, i, q):
-        u8, cstate = ch.call_u8(i, q, cstate)
-        bstate, out = bank.run_segment(bstate, u8)
+        bstate, out, cstate = bank.run_channelized(bstate, ch, i, q, cstate)
         sums = [jnp.sum(o if o.dtype != jnp.int32 else o.astype(jnp.float32))
                 for o in jax.tree_util.tree_leaves(out)]
         return cstate, bstate, sum(sums)
@@ -101,9 +102,8 @@ def main() -> None:
         for s0 in range(0, nb, args.seg):
             blks = min(args.seg, nb - s0)
             sl = slice(s0 * block_pairs, (s0 + blks) * block_pairs)
-            u8, cs = ch.call_u8(jnp.asarray(iw2[sl]), jnp.asarray(qw2[sl]),
-                                cs)
-            bs, out = bank.run_segment(bs, u8)
+            bs, out, cs = bank.run_channelized_jit(
+                bs, ch, jnp.asarray(iw2[sl]), jnp.asarray(qw2[sl]), cs)
             nbits = np.asarray(out.rds_nbits)
             bits = np.asarray(out.rds_bits)
             for k in picks:

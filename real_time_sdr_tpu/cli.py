@@ -218,8 +218,7 @@ def run_wideband(args, rx, cfg) -> int:
     if args.warmup:
         t0 = time.perf_counter()
         zi = jnp.zeros((seg_n * block_pairs,), jnp.float32)
-        w8, _ = ch.call_u8(zi, zi, cstate)   # discarded: state untouched
-        _, wout = bank.run_segment(bstate, w8)
+        _, wout, _ = bank.run_channelized_jit(bstate, ch, zi, zi, cstate)
         np.asarray(jax.tree_util.tree_leaves(wout)[0]).ravel()[:1]
         print(f"warmed up (compiled) in {time.perf_counter()-t0:.1f} s",
               file=sys.stderr)
@@ -269,9 +268,8 @@ def run_wideband(args, rx, cfg) -> int:
         t0 = time.perf_counter()
         x = (np.frombuffer(buf[:nb_got * 2 * block_pairs], dtype=np.uint8)
              .astype(np.float32) - 128.0) / 128.0
-        u8, cstate = ch.call_u8(jnp.asarray(x[0::2]), jnp.asarray(x[1::2]),
-                                cstate)
-        bstate, out = bank.run_segment(bstate, u8)  # async dispatch
+        bstate, out, cstate = bank.run_channelized_jit(  # async dispatch
+            bstate, ch, jnp.asarray(x[0::2]), jnp.asarray(x[1::2]), cstate)
         if rx.stereo:
             pcms = [stereo_pcm(out.left[k], out.right[k])
                     for k in range(len(offsets))]

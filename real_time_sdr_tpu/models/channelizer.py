@@ -218,13 +218,20 @@ class Channelizer:
             np.cos(ang[:, :lo]).T.astype(np.float32))
         self._fold_ps = jnp.asarray(
             np.sin(ang[:, :lo]).T.astype(np.float32))
-        # static lane-major sign for the 2-D u8 epilogue: within each
-        # 2S-lane group the first S lanes are the real rail (rotation
-        # subtracts the partner), the next S add it
-        lane = np.arange(r_n * 2 * s_ch)
-        self._fold_sign = jnp.asarray(
-            np.where((lane % (2 * s_ch)) < s_ch, -1.0, 1.0)
-            .astype(np.float32))
+        # Mosaic epilogue kernel (ops/pallas/chan_epilogue.py): rotation
+        # + quantize + station-major transpose + i/q byte packing in
+        # VMEM — the XLA lowering of the same epilogue costs ~6.4 ms/run
+        # of full-HBM relayout passes at 64 stations. "interpret" (CPU
+        # tests) and "xla" (fallback) via RTSDR_CHAN_EPI.
+        from real_time_sdr_tpu.ops.pallas import chan_epilogue
+        epi = os.environ.get("RTSDR_CHAN_EPI", "auto")
+        if epi == "auto":
+            epi = ("pallas" if jax.default_backend() in ("tpu", "axon")
+                   else "xla")
+        self._fold_kernel = (
+            epi if epi in ("pallas", "interpret")
+            and self._fold_static and chan_epilogue.eligible(r_n, s_ch, 0)
+            else None)
         self._fold_plan_cache: dict[int, tuple] = {}
 
     def _tones(self, n: int):
@@ -274,6 +281,12 @@ class Channelizer:
         n_out = n // d
         stride = r_n * d
         c_frames = -(-n_out // r_n)
+        if self._fold_kernel:
+            # Mosaic epilogue tiles frames by C_TILE; round the frame
+            # count up (zero-padded input frames, outputs sliced off —
+            # <=0.5% extra matmul at serving sizes)
+            from real_time_sdr_tpu.ops.pallas.chan_epilogue import C_TILE
+            c_frames = -(-c_frames // C_TILE) * C_TILE
         s_over = -(-j_w // stride)
         pad_to = (c_frames + s_over) * stride
         plan = (n_out, stride, c_frames, s_over, pad_to)
@@ -329,11 +342,22 @@ class Channelizer:
             r_n = self._fold_R
             pc = jax.lax.dynamic_slice_in_dim(self._fold_pc, pos, 1, 0)[0]
             ps = jax.lax.dynamic_slice_in_dim(self._fold_ps, pos, 1, 0)[0]
-            if emit == "u8":
-                # (an all-2-D lane-algebra variant — partner via size-2
-                # reverse + tiled lane tables — measured SLOWER: XLA
-                # materializes the 451 MB rev and still relayouts, 17.7x
-                # vs 20.4x at 64 stations, 2026-08-20)
+            if emit == "u8" and self._fold_kernel:
+                # Mosaic epilogue: rotation+quantize+transpose+packing in
+                # VMEM, byte-exact vs the XLA path below (pinned by
+                # tests/test_channelizer.py)
+                from real_time_sdr_tpu.ops.pallas.chan_epilogue import \
+                    fold_epilogue_u8
+                out = fold_epilogue_u8(
+                    y, pc, ps, self._fold_R, s_ch, n_out,
+                    interpret=(self._fold_kernel == "interpret"))
+            elif emit == "u8":
+                # XLA 4-D epilogue. (An all-2-D lane-algebra variant —
+                # partner via size-2 reverse + tiled lane tables —
+                # measured SLOWER: XLA materializes the 451 MB rev and
+                # still relayouts, 17.7x vs 20.4x at 64 stations; a
+                # time-major staged-operand emission lost too, 18.9x —
+                # both 2026-08-20.)
                 y4 = y.reshape(-1, r_n, 2, s_ch)
                 vr, vi = y4[:, :, 0, :], y4[:, :, 1, :]      # (c, R, S)
                 i_full = vr * pc - vi * ps

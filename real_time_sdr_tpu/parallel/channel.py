@@ -30,6 +30,7 @@ class ChannelBank:
         self.mesh = mesh
         self.axis = axis
         self._grouped_cache: dict[int, object] = {}
+        self._chan_jit_cache: dict[int, object] = {}
         self._step = jax.jit(jax.vmap(rx.step))
         self._run = jax.jit(jax.vmap(rx.run_blocks, in_axes=(0, 1),
                                      out_axes=(0, 1)))
@@ -68,6 +69,30 @@ class ChannelBank:
         """segments: (C, B*2*block_size_iq) uint8 — one fused pass per
         channel (see Receiver.run_segment)."""
         return self._step(state, segments)
+
+    def run_channelized(self, state, ch, i_wide, q_wide, cstate):
+        """Wideband segment pass fed straight from a Channelizer:
+        ``(bank_state, out, chan_state)`` — the one entry every wideband
+        serving path uses, so channelizer-side fast paths (the fused u8
+        epilogue, the Mosaic epilogue kernel) apply everywhere at once.
+
+        (An in-graph staged-operand variant — the channelizer emitting
+        ``[tail | seg | pad]`` time-major for ``run_segment_staged`` —
+        measured SLOWER than this two-step handoff, 18.9x vs 20.4x at 64
+        stations, 2026-08-20: XLA kept the extra relayout passes. The
+        Mosaic epilogue kernel is the fix that actually landed.)"""
+        u8, cstate = ch.call_u8(i_wide, q_wide, cstate)
+        state, out = self.run_segment(state, u8)
+        return state, out, cstate
+
+    def run_channelized_jit(self, state, ch, i_wide, q_wide, cstate):
+        """Jitted ``run_channelized`` for eager serving loops (one cached
+        graph per channelizer; shapes retrace as usual)."""
+        fn = self._chan_jit_cache.get(id(ch))
+        if fn is None:
+            fn = self._chan_jit_cache[id(ch)] = jax.jit(
+                lambda s, i, q, c: self.run_channelized(s, ch, i, q, c))
+        return fn(state, i_wide, q_wide, cstate)
 
     def run_segment_grouped(self, state, segments, group: int = 32):
         """Segment pass over C channels executed as C/group sequential

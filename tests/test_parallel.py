@@ -194,6 +194,100 @@ def test_joint_channel_time_sharding():
                                       np.asarray(seq.rds_bits))
 
 
+def test_run_channelized_matches_explicit_two_step():
+    """ChannelBank.run_channelized is the single wideband entry every
+    serving path uses; pin it to the explicit call_u8 + run_segment
+    composition (same channelizer, same states) bit-for-bit."""
+    from conftest import mk_channelizer
+
+    rx = Receiver(0, stereo=True, rds=True, pll_tier=3)
+    cfg = rx.cfg
+    wide_fs = 4 * cfg.rf_fs
+    n_st = 4
+    offs = [int((k - (n_st - 1) / 2) * 300_000) for k in range(n_st)]
+    ch = mk_channelizer(cfg, wide_fs, offs, fold=True)
+    bank = ChannelBank(rx, n_st)
+
+    rng = np.random.default_rng(13)
+    nseg = cfg.block_size_iq * ch.decim
+    iw = jnp.asarray(rng.standard_normal(nseg).astype(np.float32) * 0.2)
+    qw = jnp.asarray(rng.standard_normal(nseg).astype(np.float32) * 0.2)
+    cs_a, bs_a = ch.init_state(), bank.init_state()
+    bs_b = bank.init_state()
+    bs_a, out_a, cs_a = bank.run_channelized(bs_a, ch, iw, qw, cs_a)
+    u8, _ = ch.call_u8(iw, qw, ch.init_state())
+    bs_b, out_b = bank.run_segment(bs_b, u8)
+    for la, lb in zip(jax.tree_util.tree_leaves((out_a, bs_a)),
+                      jax.tree_util.tree_leaves((out_b, bs_b))):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_chan_epilogue_kernel_byte_exact():
+    """The Mosaic fold-epilogue kernel (interpret mode) vs the NumPy
+    reference of the XLA 4-D epilogue on the same y: the transpose,
+    slicing and int32 byte packing must be EXACT (any packing/order bug
+    shows as gross byte scatter); the rotation multiply-add may contract
+    to FMA under compilation, so quantization boundaries may flip by 1
+    u8 LSB at a tiny fraction of samples (-48 dB, far below every
+    product floor). The compiled kernel matched NumPy byte-for-byte on
+    v5e (2026-08-20)."""
+    from real_time_sdr_tpu.ops.pallas.chan_epilogue import (
+        fold_epilogue_u8, reference_u8, eligible)
+
+    s_ch, r_n, c = 64, 16, 512
+    assert eligible(r_n, s_ch, c)
+    rng = np.random.default_rng(7)
+    y = rng.standard_normal((c, r_n * 2 * s_ch)).astype(np.float32)
+    pc = np.cos(rng.uniform(0, 7, s_ch)).astype(np.float32)
+    ps = np.sin(rng.uniform(0, 7, s_ch)).astype(np.float32)
+    n_out = c * r_n - 37       # exercise the partial-frame slice
+    got = np.asarray(
+        fold_epilogue_u8(jnp.asarray(y), jnp.asarray(pc),
+                         jnp.asarray(ps), r_n, s_ch, n_out,
+                         interpret=True)).astype(np.int32)
+    ref = reference_u8(y, pc, ps, r_n, s_ch, n_out).astype(np.int32)
+    diff = np.abs(got - ref)
+    assert diff.max() <= 1, diff.max()            # FMA-boundary flips only
+    assert (diff != 0).mean() < 0.01, (diff != 0).mean()
+
+
+def test_call_u8_kernel_epilogue_integration():
+    """call_u8 with the Mosaic epilogue (RTSDR_CHAN_EPI=interpret, CPU)
+    vs the XLA epilogue on a REAL 64-station channelizer — same
+    instance, same weights and plan pads; only the epilogue differs.
+    Agreement to 1 u8 LSB (FMA contraction of the rotation), identical
+    carried state."""
+    import os as _os
+    from conftest import mk_channelizer
+
+    rx = Receiver(0, stereo=False, rds=False)
+    cfg = rx.cfg
+    wide_fs = 8 * cfg.rf_fs
+    n_st = 64
+    offs = [int((k - (n_st - 1) / 2) * 300_000) for k in range(n_st)]
+    _os.environ["RTSDR_CHAN_EPI"] = "interpret"
+    try:
+        ch = mk_channelizer(cfg, wide_fs, offs, fold=True)
+    finally:
+        del _os.environ["RTSDR_CHAN_EPI"]
+    assert ch._fold_static and ch._fold_kernel == "interpret"
+
+    rng = np.random.default_rng(21)
+    nseg = cfg.block_size_iq * ch.decim
+    iw = jnp.asarray(rng.standard_normal(nseg).astype(np.float32) * 0.2)
+    qw = jnp.asarray(rng.standard_normal(nseg).astype(np.float32) * 0.2)
+    u8_k, st_k = ch.call_u8(iw, qw, ch.init_state())
+    kernel_plan = ch._fold_plan(int(iw.shape[-1]))
+    ch._fold_kernel = None     # same instance -> same weights
+    ch._fold_plan_cache[int(iw.shape[-1])] = kernel_plan  # same pads too
+    u8_x, st_x = ch.call_u8(iw, qw, ch.init_state())
+    diff = np.abs(np.asarray(u8_k).astype(np.int32)
+                  - np.asarray(u8_x).astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+    assert (diff != 0).mean() < 0.01, (diff != 0).mean()
+    np.testing.assert_array_equal(np.asarray(st_k.pos), np.asarray(st_x.pos))
+
+
 @pytest.mark.parametrize("fold", [True, False])
 def test_sharded_wideband_matches_unsharded(fold):
     """ShardedWideband (channelizer + bank in ONE mesh computation,
