@@ -44,6 +44,10 @@ CONFIGS = [
     ("no-fe-poly", "frontend,dualphase,polyfir"),
     ("no-fe-poly-pll", "frontend,dualphase,polyfir,pll"),
     ("no-fir-all", "polyfir,shared"),  # kept as recorded in BENCH_NOTES
+    # 2026-08-20 candidates around the shipping default (frontend/
+    # dualphase off) after the bf16x3-precision restructure
+    ("ship-noshared", "frontend,dualphase,shared"),
+    ("ship-all-off", "frontend,dualphase,polyfir,shared,pll"),
     ("no-all", "all"),
 ]
 

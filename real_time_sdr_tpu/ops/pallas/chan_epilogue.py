@@ -97,6 +97,12 @@ def fold_epilogue_u8(y: jax.Array, pc: jax.Array, ps: jax.Array,
     # 2026-08-20); in-kernel assembly is blocked by Mosaic's missing
     # 8/16-bit lane merges, so this XLA pass is the remaining epilogue
     # cost.
+    # drop the zero-padded frames in WORD space first: the minor-dim
+    # slice fuses into the elementwise extraction, where slicing the u8
+    # result instead cost a separate 692 us full-HBM pass (2026-08-20);
+    # at serving sizes (n_out % r_n == 0) the final byte slice is a no-op
+    c_real = -(-n_out // r_n)
+    words = words[:, :, :c_real]
     bs = [((words >> (8 * k)) & 0xFF).astype(jnp.uint8) for k in range(4)]
     u8 = jnp.stack(bs, axis=-1).transpose(1, 2, 0, 3)   # (S, c, R/2, 4)
     return u8.reshape(s_ch, -1)[:, :2 * n_out]
