@@ -219,7 +219,11 @@ def run_wideband(args, rx, cfg) -> int:
         t0 = time.perf_counter()
         zi = jnp.zeros((seg_n * block_pairs,), jnp.float32)
         _, wout, _ = bank.run_channelized_jit(bstate, ch, zi, zi, cstate)
-        np.asarray(jax.tree_util.tree_leaves(wout)[0]).ravel()[:1]
+        # warm the per-station PCM conversion (first-use remote compiles
+        # otherwise land on the first live segment)
+        wpcm = (stereo_pcm(wout.left[0], wout.right[0]) if rx.stereo
+                else mono_pcm(wout.mono[0]))
+        np.asarray(wpcm).ravel()[:1]
         print(f"warmed up (compiled) in {time.perf_counter()-t0:.1f} s",
               file=sys.stderr)
     n_blocks = 0
@@ -381,7 +385,12 @@ def main(argv=None) -> int:
         else:
             silent = jnp.full((n2_w,), 128, jnp.uint8)
             _, wout = rx.jit_step(state, silent)  # discarded
-        np.asarray(jax.tree_util.tree_leaves(wout)[0]).ravel()[:1]
+        # warm the PCM conversion too: its first-use remote compile
+        # (~3.5 s through the tunnel, 2026-08-20) otherwise lands on the
+        # first live block and backs up a paced source by ~100 deadlines
+        wpcm = (stereo_pcm(wout.left, wout.right) if stereo
+                else mono_pcm(wout.mono))
+        np.asarray(wpcm).ravel()[:1]
         print(f"warmed up (compiled) in {time.perf_counter()-t0:.1f} s",
               file=sys.stderr)
 
@@ -505,16 +514,20 @@ def main(argv=None) -> int:
             for j in range(g):
                 writer.write(pcm_np[j * step_len:(j + 1) * step_len])
                 if framer is not None:
-                    nj = int(n[j]) if g > 1 else int(n)
+                    # dimension (not g) test: a padded EOF tail can have
+                    # g == 1 with multi-block output arrays
+                    nj = int(n[j]) if np.ndim(n) else int(n)
                     if nj > 0:
-                        framer.feed((bits_np[j] if g > 1 else bits_np)[:nj])
+                        framer.feed((bits_np[j] if bits_np.ndim > 1
+                                     else bits_np)[:nj])
                 n_blocks += 1
                 if args.monitor and n_blocks % max(1, args.monitor_every) == 0:
                     _monitor_snapshot(
                         args.monitor, cfg, stereo, framer, n_blocks,
                         pcm_np[j * step_len:(j + 1) * step_len],
                         None if clean_np is None
-                        else (clean_np[j] if g > 1 else clean_np))
+                        else (clean_np[j] if clean_np.ndim > 1
+                              else clean_np))
             latencies.append(time.perf_counter() - t_in)
 
     nxt = read_group()
@@ -526,6 +539,19 @@ def main(argv=None) -> int:
     while nxt is not None:
         t0 = time.perf_counter()
         seg, t_in, g = nxt
+        pad_blocks = 0
+        if g < max(1, args.segment) and not args.checkpoint:
+            # EOF tail group: pad with 0x80 "silence" to the segment
+            # shape so the ALREADY-COMPILED graph serves it — a fresh
+            # tail-shape compile costs seconds through a remote device
+            # (measured 6 s at stream end, e2e_latency 2026-08-20). The
+            # pad's PCM/RDS rows are sliced off below; the carried state
+            # absorbs the silent pad, which is fine at stream end —
+            # --checkpoint keeps the exact-shape dispatch instead so the
+            # saved state stays faithful to the real input.
+            pad_blocks = max(1, args.segment) - g
+            seg = np.concatenate(
+                [seg, np.full(pad_blocks * block_bytes, 128, np.uint8)])
         if use_staged:
             xp = rx.frontend.stage_segment(prev_tail, seg)
             prev_tail = seg[-prev_tail.shape[-1]:].copy()
@@ -544,6 +570,8 @@ def main(argv=None) -> int:
             pcm = stereo_pcm(out.left, out.right)
         else:
             pcm = mono_pcm(out.mono)
+        if pad_blocks:
+            pcm = pcm[:g * (pcm.shape[0] // (g + pad_blocks))]
         in_flight.append((pcm, out, t_in, g))
         if len(in_flight) > args.pipeline:
             # drain half the window per fetch: the queue stays half full so

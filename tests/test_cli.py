@@ -262,6 +262,29 @@ def test_cli_segment_serving_identical(station_file):
     assert rds_lines(rg), "no RDS events decoded in either mode"
 
 
+def test_cli_partial_tail_group_padded(station_file):
+    """A stream whose length is NOT a multiple of --segment ends with a
+    partial group; the CLI pads it to the compiled segment shape (a
+    fresh tail-shape compile costs seconds through a remote device) and
+    trims the pad's PCM — output length must be EXACTLY the real block
+    count and the decode trail identical to per-block serving."""
+    path, truth, cfg = station_file
+    r1 = run_cli(["0", "r", "--max-blocks", "14"], path)
+    rg = run_cli(["0", "r", "--segment", "4", "--max-blocks", "14"], path)
+    assert r1.returncode == 0 and rg.returncode == 0
+    b = np.frombuffer(rg.stdout, dtype="<i2").astype(np.int32)
+    assert len(b) == 14 * cfg.audio_block * 2  # pad trimmed exactly
+    a = np.frombuffer(r1.stdout, dtype="<i2").astype(np.int32)
+    assert np.abs(a - b).max() <= 2, np.abs(a - b).max()
+
+    def rds_lines(r):
+        return [ln for ln in r.stderr.decode().splitlines()
+                if ln.startswith(("PI:", "PTY:", "Program Service:"))]
+
+    assert rds_lines(rg) == rds_lines(r1)
+    assert rds_lines(rg), "no RDS events decoded"
+
+
 def test_cli_incompatible_checkpoint_starts_fresh(station_file, tmp_path):
     """A checkpoint from an older state layout (or a corrupt npz) must warn
     and start fresh, not crash the stream (carried-state pytrees may gain
