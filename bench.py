@@ -376,7 +376,8 @@ def main() -> None:
     if args.wideband and _result is not None and remaining() > 60:
         # Channelizer serving path: one wideband stream in, N stations out.
         try:
-            from real_time_sdr_tpu.models.channelizer import Channelizer
+            from real_time_sdr_tpu.models.wideband_frontend import (
+                FusedWidebandFrontend, make_wideband_frontend)
             wide_fs = 4 * cfg.rf_fs
             n_st = args.wideband
             span = wide_fs // 2 - cfg.rf_fs // 2
@@ -384,7 +385,8 @@ def main() -> None:
             # keeps the periodic-exact tones AND the static-tone fold
             offs = [int(round((-span + (2 * span) * k / max(n_st - 1, 1))
                               / 100e3) * 100e3) for k in range(n_st)]
-            ch = Channelizer(cfg, wide_fs, offs)
+            ch = make_wideband_frontend(cfg, wide_fs, offs)
+            wb_fused = isinstance(ch, FusedWidebandFrontend)
             from real_time_sdr_tpu.parallel.channel import ChannelBank
             bank = ChannelBank(rx, n_st)
             # segment serving (same shape rule as the station bank): one
@@ -401,8 +403,12 @@ def main() -> None:
                 (n_wb, wb_seg * block_pairs)).astype(np.float32) * 0.1)
 
             def wb_step(cstate, bstate, i, q):
-                bstate, out, cstate = bank.run_channelized(
-                    bstate, ch, i, q, cstate)
+                if wb_fused:
+                    bstate, out, cstate = bank.run_channelized_fused(
+                        bstate, ch, i, q, cstate)
+                else:
+                    bstate, out, cstate = bank.run_channelized(
+                        bstate, ch, i, q, cstate)
                 sums = [jnp.sum(o if o.dtype != jnp.int32
                                 else o.astype(jnp.float32))
                         for o in jax.tree_util.tree_leaves(out)]
@@ -422,7 +428,8 @@ def main() -> None:
             wb_ms = block_pairs / per_block / 1e6
             rt = wb_ms / (wide_fs / 1e6)
             print(f"# wideband channelize+decode ({n_st} stations from one "
-                  f"{wide_fs/1e6:g} MS/s capture, {wb_seg}-block segments): "
+                  f"{wide_fs/1e6:g} MS/s capture, {wb_seg}-block segments, "
+                  f"{'fused' if wb_fused else 'u8'} frontend): "
                   f"{per_block*1e3:.2f} ms/block, {wb_ms:.0f} MS/s wideband "
                   f"= {rt:.0f}x realtime", file=sys.stderr)
         except Exception as e:  # noqa: BLE001

@@ -31,6 +31,12 @@ def main() -> None:
                          "21.3x at 12, 23.0x at 48 — amortizes the "
                          "per-dispatch tunnel gap; 2026-08-20)")
     ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--path", choices=("auto", "fused", "u8"),
+                    default="auto",
+                    help="wideband frontend: fused one-matmul demod "
+                         "(models/wideband_frontend.py, the serving "
+                         "default on periodic grids) or the two-stage "
+                         "uint8 Channelizer path")
     ap.add_argument("--decode-check", action="store_true",
                     help="also synthesize 3 real stations in the scene and "
                          "assert their PS decode (slow: host-side synth)")
@@ -41,6 +47,8 @@ def main() -> None:
     import numpy as np
 
     from real_time_sdr_tpu.models.channelizer import Channelizer
+    from real_time_sdr_tpu.models.wideband_frontend import (
+        FusedWidebandFrontend, make_wideband_frontend)
     from real_time_sdr_tpu.models.receiver import Receiver
     from real_time_sdr_tpu.parallel.channel import ChannelBank
     from real_time_sdr_tpu.utils import synth
@@ -52,10 +60,17 @@ def main() -> None:
     # 300 kHz raster centered on DC - fits 64 stations in ~19.2 MHz with
     # filter margin; integer offsets keep the periodic-exact tone mode
     offs = [int((k - (n_st - 1) / 2) * 300_000) for k in range(n_st)]
-    ch = Channelizer(cfg, wide_fs, offs)
-    assert ch.tone_period, "expected the periodic-exact tone mode"
-    print(f"# tone mode: periodic-exact, lcm period {ch.tone_period}",
-          file=sys.stderr)
+    if args.path == "fused":
+        ch = FusedWidebandFrontend(cfg, wide_fs, offs)
+    elif args.path == "u8":
+        ch = Channelizer(cfg, wide_fs, offs)
+        assert ch.tone_period, "expected the periodic-exact tone mode"
+    else:
+        ch = make_wideband_frontend(cfg, wide_fs, offs)
+    fused = isinstance(ch, FusedWidebandFrontend)
+    print(f"# frontend: {'fused one-matmul demod' if fused else 'two-stage uint8'}"
+          + (f" (lo={ch.lo}, R={ch.r_n}, {ch.compute_dtype})" if fused
+             else f" (tone lcm {ch.tone_period})"), file=sys.stderr)
     bank = ChannelBank(rx, n_st)
 
     block_pairs = cfg.block_size_iq * ch.decim
@@ -65,7 +80,12 @@ def main() -> None:
     qw = jnp.asarray(rng.standard_normal((n,)).astype(np.float32) * 0.1)
 
     def step(cstate, bstate, i, q):
-        bstate, out, cstate = bank.run_channelized(bstate, ch, i, q, cstate)
+        if fused:
+            bstate, out, cstate = bank.run_channelized_fused(
+                bstate, ch, i, q, cstate)
+        else:
+            bstate, out, cstate = bank.run_channelized(
+                bstate, ch, i, q, cstate)
         sums = [jnp.sum(o if o.dtype != jnp.int32 else o.astype(jnp.float32))
                 for o in jax.tree_util.tree_leaves(out)]
         return cstate, bstate, sum(sums)
@@ -102,7 +122,7 @@ def main() -> None:
         for s0 in range(0, nb, args.seg):
             blks = min(args.seg, nb - s0)
             sl = slice(s0 * block_pairs, (s0 + blks) * block_pairs)
-            bs, out, cs = bank.run_channelized_jit(
+            bs, out, cs = bank.run_wideband_jit(
                 bs, ch, jnp.asarray(iw2[sl]), jnp.asarray(qw2[sl]), cs)
             nbits = np.asarray(out.rds_nbits)
             bits = np.asarray(out.rds_bits)

@@ -141,7 +141,8 @@ def run_wideband(args, rx, cfg) -> int:
     import jax
     import jax.numpy as jnp
 
-    from real_time_sdr_tpu.models.channelizer import Channelizer
+    from real_time_sdr_tpu.models.wideband_frontend import (
+        FusedWidebandFrontend, make_wideband_frontend)
     from real_time_sdr_tpu.models.rds_framing import RdsFramer
     from real_time_sdr_tpu.parallel.channel import ChannelBank
     from real_time_sdr_tpu.utils.audio import mono_pcm, stereo_pcm
@@ -162,7 +163,11 @@ def run_wideband(args, rx, cfg) -> int:
         print(f"error: --wide-fs {wide_fs} must be an integer multiple of "
               f"the mode RF rate {cfg.rf_fs}", file=sys.stderr)
         return 2
-    ch = Channelizer(cfg, wide_fs, offsets)
+    ch = make_wideband_frontend(cfg, wide_fs, offsets)
+    fused = isinstance(ch, FusedWidebandFrontend)
+    print(f"wideband frontend: "
+          f"{'fused one-matmul' if fused else 'two-stage uint8'} path",
+          file=sys.stderr)
     bank = ChannelBank(rx, n_channels=len(offsets))
     fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
     outdir = args.output_dir or "."
@@ -218,7 +223,7 @@ def run_wideband(args, rx, cfg) -> int:
     if args.warmup:
         t0 = time.perf_counter()
         zi = jnp.zeros((seg_n * block_pairs,), jnp.float32)
-        _, wout, _ = bank.run_channelized_jit(bstate, ch, zi, zi, cstate)
+        _, wout, _ = bank.run_wideband_jit(bstate, ch, zi, zi, cstate)
         # warm the per-station PCM conversion (first-use remote compiles
         # otherwise land on the first live segment)
         wpcm = (stereo_pcm(wout.left[0], wout.right[0]) if rx.stereo
@@ -272,7 +277,7 @@ def run_wideband(args, rx, cfg) -> int:
         t0 = time.perf_counter()
         x = (np.frombuffer(buf[:nb_got * 2 * block_pairs], dtype=np.uint8)
              .astype(np.float32) - 128.0) / 128.0
-        bstate, out, cstate = bank.run_channelized_jit(  # async dispatch
+        bstate, out, cstate = bank.run_wideband_jit(  # async dispatch
             bstate, ch, jnp.asarray(x[0::2]), jnp.asarray(x[1::2]), cstate)
         if rx.stereo:
             pcms = [stereo_pcm(out.left[k], out.right[k])

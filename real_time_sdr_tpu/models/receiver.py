@@ -195,6 +195,17 @@ class Receiver:
                 functools.partial(self.run_segment_staged, n2=n2))
         return fn(state, xp_u8)
 
+    def run_segment_demod(self, state: ReceiverState, demod: jax.Array):
+        """Post-frontend entry: ``demod`` (n_blocks*if_block,) float32 is
+        the FM-discriminated IF signal computed EXTERNALLY (the fused
+        wideband frontend, models/wideband_frontend.py, emits it straight
+        from one wide-rate matmul). Runs the audio + RDS chains exactly as
+        ``run_segment`` would after its frontend; ``state.frontend``
+        passes through untouched (the external frontend carries its own
+        state)."""
+        self._check_batch(demod, 1)
+        return self._post_frontend(demod, state.frontend, state)
+
     def run_segment_tiled(self, state: ReceiverState, iq_segment: jax.Array,
                           tile_blocks: int = 12):
         """Long segment as sequential ``tile_blocks``-sized segment passes

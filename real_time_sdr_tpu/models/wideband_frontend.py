@@ -1,0 +1,300 @@
+"""Fused wideband frontend: one matmul from wideband IQ to per-station
+FM demod at the IF rate.
+
+The serving chain for channelized wideband used to be two decimating FIR
+stages with a uint8 re-encode between them (models/channelizer.py fold
+matmul -> rotate/quantize/pack epilogue -> receiver frontend kernel):
+the uint8 hop exists to feed the receivers through their hardware-tuner
+byte interface, and its staging (quantize, byte packing, word interleave,
+tail concat, 0x80 pad, bitcast) cost ~8 ms of the 24 ms device time at
+64 stations (2026-08-20 trace). But both stages are LTI decimators and
+mixing commutes with LTI filtering, so the whole cascade folds into ONE
+framed matmul at the wide rate:
+
+    h_eq = h_chan (*) upsample_D(h_front)        (exact polyphase identity)
+    y_s[u] = e^{-j*w_s*Dt*u} * sum_t (h_eq[t] e^{+j*w_s*t}) * x[u*Dt - t]
+
+with Dt = D * rf_decim the combined decimation (wide rate -> IF rate
+directly). On a periodic station grid the output-rate tone
+e^{-j*w_s*Dt*u} static-folds into the weights exactly as in the
+channelizer (models/channelizer.py _init_fold): pick R = lcm(R, lo) so
+e^{-j*w_s*Dt*R*c} == 1 in integer phase, fold theta(r) into the weight
+columns, and only a per-segment (S,) scalar rotation survives. The FM
+discriminator (ops/demod.fm_demod) is scale-invariant elementwise work
+on the matmul result, so demod comes out directly — no uint8 hop, no
+epilogue kernel, no frontend kernel, no staging, and HALF the matmul
+FLOPs of the two-stage fold (outputs emerge at the IF rate, rf_decim
+times fewer than the channelizer's station rate).
+
+Fidelity: the replaced chain re-quantized the station basebands to uint8
+(~-49 dB) before the frontend; here the rails round to bfloat16 (~-48 dB
+per sample) and the combined taps round once to bf16 — comparable noise
+injected one stage earlier, and the discriminator is invariant to the
+127/128 gain the u8 path carried. RTSDR_WB_FIR=bf16x2 splits the taps
+hi+lo (full f32 tap precision, int8-exact style) at 2x matmul cost;
+=f32 runs Precision.HIGHEST (the CPU/test default).
+
+Reference scope: this replaces src/rffrontend.cpp:45-74 + the mixer for
+the many-station configuration; single-station serving keeps the uint8
+interface (models/frontend.py).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from real_time_sdr_tpu.config import ReceiverConfig
+from real_time_sdr_tpu.ops import filters
+from real_time_sdr_tpu.ops.fir import barrier
+
+
+def make_wideband_frontend(cfg: ReceiverConfig, wide_fs: int,
+                           offsets_hz: list[int]):
+    """Serving-path factory: the fused one-matmul frontend when the
+    station grid is eligible (every real raster is), else the two-stage
+    Channelizer + uint8 receiver path. RTSDR_WB_FUSED=0 forces the
+    two-stage path (e.g. to reproduce the uint8-interface bitstreams).
+
+    Returns the frontend object; feed it to
+    parallel.channel.ChannelBank.run_wideband_jit, which dispatches on
+    its type."""
+    fused = os.environ.get("RTSDR_WB_FUSED", "1") != "0"
+    if fused and FusedWidebandFrontend.eligible(cfg, wide_fs, offsets_hz):
+        return FusedWidebandFrontend(cfg, wide_fs, offsets_hz)
+    from real_time_sdr_tpu.models.channelizer import Channelizer
+    return Channelizer(cfg, wide_fs, offsets_hz)
+
+
+class FusedWidebandState(NamedTuple):
+    i_tail: jax.Array   # (K_eq-1,) raw wideband rail history
+    q_tail: jax.Array
+    prev_i: jax.Array   # (S,) carried discriminator samples
+    prev_q: jax.Array
+    pos: jax.Array      # () int32 IF-rate sample count mod lo
+
+
+class FusedWidebandFrontend:
+    """Wideband rails -> per-station IF-rate FM demod, one MXU matmul.
+
+    Requires a periodic station grid (integer offsets on a raster whose
+    output-rate tone lcm is small — every real FM raster qualifies; see
+    ``eligible``). For pathological grids use Channelizer + the uint8
+    receiver path.
+    """
+
+    @staticmethod
+    def output_lcm(wide_fs: int, rf_fs: int, rf_decim: int,
+                   offsets_hz: list[int]) -> int:
+        """lcm over stations of the IF-rate tone period (lo)."""
+        p = int(wide_fs)
+        dt = (p // int(rf_fs)) * int(rf_decim)
+        lo = 1
+        for f in offsets_hz:
+            fd = (int(f) * dt) % p
+            per = p // math.gcd(fd, p) if fd else 1
+            lo = lo * per // math.gcd(lo, per)
+        return lo
+
+    @classmethod
+    def eligible(cls, cfg: ReceiverConfig, wide_fs: int,
+                 offsets_hz: list[int], cap: int = 256) -> bool:
+        if wide_fs % cfg.rf_fs:
+            return False
+        return cls.output_lcm(wide_fs, cfg.rf_fs, cfg.rf_decim,
+                              offsets_hz) <= cap
+
+    def __init__(self, cfg: ReceiverConfig, wide_fs: int,
+                 offsets_hz: list[int], taps_factor: int = 2,
+                 compute_dtype: str | None = None):
+        assert wide_fs % cfg.rf_fs == 0, (wide_fs, cfg.rf_fs)
+        self.cfg = cfg
+        self.wide_fs = int(wide_fs)
+        self.offsets = [int(f) for f in offsets_hz]
+        d = self.wide_fs // cfg.rf_fs
+        self.decim = d
+        self.dt = d * cfg.rf_decim          # wide rate -> IF rate
+        # combined taps: channelizer LPF (same design as Channelizer)
+        # convolved with the frontend LPF upsampled to the wide rate
+        k_c = cfg.rf_taps * taps_factor + 1
+        h_c = np.asarray(filters.design_lpf(self.wide_fs,
+                                            cfg.rf_fs / 2 * 0.8, k_c),
+                         dtype=np.float64)
+        h_f = np.asarray(filters.design_lpf(cfg.rf_fs, cfg.rf_fc,
+                                            cfg.rf_taps), dtype=np.float64)
+        h_up = np.zeros(d * (cfg.rf_taps - 1) + 1, dtype=np.float64)
+        h_up[::d] = h_f
+        self._h_eq = np.convolve(h_c, h_up)
+        self.k_eq = self._h_eq.shape[0]     # k_c + d*(rf_taps-1)
+        self.tail_len = self.k_eq - 1
+        lo = self.output_lcm(self.wide_fs, cfg.rf_fs, cfg.rf_decim,
+                             self.offsets)
+        cap = int(os.environ.get("RTSDR_WB_LCM_MAX", "256"))
+        if lo > cap:
+            raise ValueError(
+                f"station grid's IF-rate tone lcm {lo} > {cap}; use "
+                "Channelizer + the uint8 receiver path for this grid")
+        self.lo = lo
+        if compute_dtype is None:
+            dflt = ("bf16" if jax.default_backend() in ("tpu", "axon")
+                    else "f32")
+            compute_dtype = os.environ.get("RTSDR_WB_FIR", dflt)
+        assert compute_dtype in ("bf16", "bf16x2", "f32"), compute_dtype
+        self.compute_dtype = compute_dtype
+        r_n = max(1, int(os.environ.get("RTSDR_WB_R", "8")))
+        r_n = r_n * lo // math.gcd(r_n, lo)  # lo | R: static-tone fold
+        self._init_weights(r_n)
+        self._plan_cache: dict[int, tuple] = {}
+
+    def _init_weights(self, r_n: int) -> None:
+        """(2J, R*2S) fold weights, col = r*2S + u (u < S real rail); the
+        station tone at the wide rate AND the static r-part of the
+        IF-rate output tone fold into the columns (integer phase — see
+        models/channelizer.py:_init_fold, same construction)."""
+        p, dt, s_ch = self.wide_fs, self.dt, len(self.offsets)
+        k_eq, h = self.k_eq, self._h_eq
+        self.r_n = r_n
+        self.j_w = k_eq + (r_n - 1) * dt
+        t = np.arange(k_eq, dtype=np.int64)
+        w2 = np.zeros((2 * self.j_w, r_n * 2 * s_ch))
+        cols_s = np.arange(s_ch)[:, None]
+        for si, f in enumerate(self.offsets):
+            fr = f % p
+            ang = 2.0 * np.pi * ((fr * t) % p).astype(np.float64) / p
+            hc, hs = h * np.cos(ang), h * np.sin(ang)
+            for r in range(r_n):
+                rows = (k_eq - 1) + r * dt - t
+                base = r * 2 * s_ch
+                w2[rows, base + si] = hc
+                w2[self.j_w + rows, base + si] = -hs
+                w2[rows, base + s_ch + si] = hs
+                w2[self.j_w + rows, base + s_ch + si] = hc
+        # IF-rate output tone e^{-j*w_s*dt*u}: static r-part into columns
+        u = np.arange(max(self.lo, r_n), dtype=np.int64)
+        ang = np.stack([-2.0 * np.pi
+                        * ((((f * dt) % p) * u) % p).astype(np.float64) / p
+                        for f in self.offsets])
+        uc_r, us_r = np.cos(ang[:, :r_n]), np.sin(ang[:, :r_n])
+        for r in range(r_n):
+            base = r * 2 * s_ch
+            cre = base + np.arange(s_ch)
+            cim = base + s_ch + np.arange(s_ch)
+            wre, wim = w2[:, cre].copy(), w2[:, cim].copy()
+            w2[:, cre] = wre * uc_r[:, r] - wim * us_r[:, r]
+            w2[:, cim] = wim * uc_r[:, r] + wre * us_r[:, r]
+        self._w = w2.astype(np.float32)
+        # per-segment residual rotation tables, (lo, S) for one-row slice
+        self._pc = jnp.asarray(np.cos(ang[:, :self.lo]).T.astype(np.float32))
+        self._ps = jnp.asarray(np.sin(ang[:, :self.lo]).T.astype(np.float32))
+
+    def init_state(self) -> FusedWidebandState:
+        s = len(self.offsets)
+        z = jnp.zeros((self.tail_len,), jnp.float32)
+        return FusedWidebandState(z, z, jnp.zeros((s,), jnp.float32),
+                                  jnp.zeros((s,), jnp.float32),
+                                  jnp.zeros((), jnp.int32))
+
+    def _plan(self, n: int):
+        if n in self._plan_cache:
+            return self._plan_cache[n]
+        assert n % self.dt == 0, (n, self.dt)
+        n_if = n // self.dt
+        stride = self.r_n * self.dt
+        c_frames = -(-n_if // self.r_n)
+        s_over = -(-self.j_w // stride)
+        pad_to = (c_frames + s_over) * stride
+        plan = (n_if, stride, c_frames, s_over, pad_to)
+        self._plan_cache[n] = plan
+        return plan
+
+    def _frames(self, xx: jax.Array, plan) -> jax.Array:
+        """(n + tail,) rail -> (c_frames, J) windows (shifted slices of one
+        reshape — no gathers; PolyFIR's framing scheme)."""
+        n_if, stride, c_frames, s_over, pad_to = plan
+        pad = pad_to - xx.shape[-1]
+        xp = jnp.pad(xx, [(0, pad)]) if pad > 0 else xx
+        rows = xp.reshape(-1, stride)
+        parts = [rows[s:s + c_frames, :] for s in range(s_over)]
+        return jnp.concatenate(parts, axis=-1)[:, :self.j_w]
+
+    def cost(self, n: int) -> dict:
+        """Speed-of-light accounting (see PolyFIR.cost)."""
+        n_if, stride, c_frames, s_over, pad_to = self._plan(n)
+        s_ch = len(self.offsets)
+        passes = 2 if self.compute_dtype == "bf16x2" else 1
+        flops = passes * 2 * c_frames * 2 * self.j_w * self.r_n * 2 * s_ch
+        ebytes = 2 if self.compute_dtype.startswith("bf16") else 4
+        byts = (2 * ebytes * (n + self.tail_len)      # two rails, read once
+                + passes * ebytes * 2 * self.j_w * self.r_n * 2 * s_ch
+                + 4 * s_ch * n_if * 2)                # demod out + transpose
+        return {"kind": f"fused_wb_{self.compute_dtype}", "flops": flops,
+                "bytes": byts, "dims": (c_frames, 2 * self.j_w,
+                                        self.r_n * 2 * s_ch)}
+
+    def __call__(self, i_wide: jax.Array, q_wide: jax.Array,
+                 state: FusedWidebandState):
+        """i_wide, q_wide: (N,) float32 at wide_fs, N % (D*rf_decim) == 0.
+
+        Returns (demod (S, N // (D*rf_decim)) float32, new state)."""
+        n = i_wide.shape[-1]
+        plan = self._plan(n)
+        n_if = plan[0]
+        s_ch = len(self.offsets)
+        r_n = self.r_n
+        bf16 = self.compute_dtype.startswith("bf16")
+        dtype = jnp.bfloat16 if bf16 else jnp.float32
+        xi = jnp.concatenate([state.i_tail, i_wide]).astype(dtype)
+        xq = jnp.concatenate([state.q_tail, q_wide]).astype(dtype)
+        # same fusion-explosion guard as the channelizer fold (the frame
+        # construction below feeding the station bank is the exact graph
+        # shape the "chanfold" barrier exists for — BENCH_NOTES 2026-08-20)
+        xi = barrier(xi, "chanfold")
+        xq = barrier(xq, "chanfold")
+        fr = jnp.concatenate([self._frames(xi, plan),
+                              self._frames(xq, plan)], axis=-1)
+        if self.compute_dtype == "bf16":
+            y = jnp.einsum("cj,jr->cr", fr,
+                           jnp.asarray(self._w, dtype=jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+        elif self.compute_dtype == "bf16x2":
+            w_hi = self._w.astype(jnp.bfloat16)
+            w_lo = (self._w - np.asarray(w_hi, np.float32)).astype(
+                jnp.bfloat16)
+            y = (jnp.einsum("cj,jr->cr", fr, jnp.asarray(w_hi),
+                            preferred_element_type=jnp.float32)
+                 + jnp.einsum("cj,jr->cr", fr, jnp.asarray(w_lo),
+                              preferred_element_type=jnp.float32))
+        else:
+            y = jnp.einsum("cj,jr->cr", fr, jnp.asarray(self._w),
+                           precision=jax.lax.Precision.HIGHEST)
+        # residual per-segment rotation (constant over the segment)
+        pos = state.pos % self.lo
+        pc = jax.lax.dynamic_slice_in_dim(self._pc, pos, 1, 0)[0]
+        ps = jax.lax.dynamic_slice_in_dim(self._ps, pos, 1, 0)[0]
+        y4 = y.reshape(-1, r_n, 2, s_ch)
+        vr, vi = y4[:, :, 0, :], y4[:, :, 1, :]          # (c, R, S)
+        i_t = (vr * pc - vi * ps).reshape(-1, s_ch)[:n_if]   # (n_if, S)
+        q_t = (vi * pc + vr * ps).reshape(-1, s_ch)[:n_if]
+        # discriminator in the matmul's own time-major layout; ONE f32
+        # transpose of the demod result replaces the u8 path's quantize/
+        # pack/relayout/stage chain
+        ip = jnp.concatenate([state.prev_i[None, :], i_t[:-1]], axis=0)
+        qp = jnp.concatenate([state.prev_q[None, :], q_t[:-1]], axis=0)
+        num = i_t * (q_t - qp) - q_t * (i_t - ip)
+        den = i_t * i_t + q_t * q_t
+        zero = (i_t == 0.0) & (q_t == 0.0)
+        demod_t = jnp.where(zero, 0.0,
+                            num / jnp.where(den == 0.0, 1.0, den))
+        demod = demod_t.T                                 # (S, n_if)
+        tl = self.tail_len
+        new = FusedWidebandState(
+            jnp.concatenate([state.i_tail, i_wide])[-tl:],
+            jnp.concatenate([state.q_tail, q_wide])[-tl:],
+            i_t[n_if - 1], q_t[n_if - 1],
+            (state.pos + n_if) % self.lo)
+        return demod, new

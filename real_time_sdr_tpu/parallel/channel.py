@@ -85,6 +85,26 @@ class ChannelBank:
         state, out = self.run_segment(state, u8)
         return state, out, cstate
 
+    def run_channelized_fused(self, state, wf, i_wide, q_wide, wstate):
+        """Wideband segment pass through the FUSED wideband frontend
+        (models/wideband_frontend.py): one wide-rate matmul emits every
+        station's IF demod directly — no uint8 hop, no per-station
+        frontend. ``wf`` is a FusedWidebandFrontend; same outputs as
+        ``run_channelized`` up to the uint8 re-quantization the fused
+        path no longer performs (it is the higher-fidelity serving path;
+        decode decisions agree — tests/test_wideband_fused.py)."""
+        demod, wstate = wf(i_wide, q_wide, wstate)
+        state, out = self._step_demod(state, demod)
+        return state, out, wstate
+
+    @property
+    def _step_demod(self):
+        fn = getattr(self, "_step_demod_cache", None)
+        if fn is None:
+            fn = jax.jit(jax.vmap(self.rx.run_segment_demod))
+            self._step_demod_cache = fn
+        return fn
+
     def run_channelized_jit(self, state, ch, i_wide, q_wide, cstate):
         """Jitted ``run_channelized`` for eager serving loops (one cached
         graph per channelizer; shapes retrace as usual)."""
@@ -93,6 +113,26 @@ class ChannelBank:
             fn = self._chan_jit_cache[id(ch)] = jax.jit(
                 lambda s, i, q, c: self.run_channelized(s, ch, i, q, c))
         return fn(state, i_wide, q_wide, cstate)
+
+    def run_channelized_fused_jit(self, state, wf, i_wide, q_wide, wstate):
+        """Jitted ``run_channelized_fused`` for eager serving loops."""
+        fn = self._chan_jit_cache.get(id(wf))
+        if fn is None:
+            fn = self._chan_jit_cache[id(wf)] = jax.jit(
+                lambda s, i, q, w: self.run_channelized_fused(
+                    s, wf, i, q, w))
+        return fn(state, i_wide, q_wide, wstate)
+
+    def run_wideband_jit(self, state, fe, i_wide, q_wide, festate):
+        """Serving entry for EITHER wideband frontend: dispatches on the
+        object built by models.wideband_frontend.make_wideband_frontend
+        (FusedWidebandFrontend or Channelizer)."""
+        from real_time_sdr_tpu.models.wideband_frontend import \
+            FusedWidebandFrontend
+        if isinstance(fe, FusedWidebandFrontend):
+            return self.run_channelized_fused_jit(state, fe, i_wide,
+                                                  q_wide, festate)
+        return self.run_channelized_jit(state, fe, i_wide, q_wide, festate)
 
     def run_segment_grouped(self, state, segments, group: int = 32):
         """Segment pass over C channels executed as C/group sequential

@@ -1,0 +1,261 @@
+"""Fused wideband frontend (models/wideband_frontend.py): one wide-rate
+matmul from the capture straight to per-station IF demod — correctness vs
+a float64 cascade oracle, segment continuity, bf16 mode, checkpointing,
+and end-to-end decode through ChannelBank.run_channelized_fused."""
+
+import os
+import tempfile
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from real_time_sdr_tpu.models.receiver import Receiver
+from real_time_sdr_tpu.models.rds_framing import RdsFramer
+from real_time_sdr_tpu.models.wideband_frontend import (
+    FusedWidebandFrontend, FusedWidebandState)
+from real_time_sdr_tpu.parallel.channel import ChannelBank
+from real_time_sdr_tpu.ops import filters
+from real_time_sdr_tpu.utils import synth
+
+
+def _oracle_demod(cfg, iw, qw, wide_fs, offsets):
+    """Float64 two-stage cascade: mix -> channelizer LPF decimate D ->
+    frontend LPF decimate rf_decim -> quadrature discriminator. The fused
+    path must equal this (it IS this cascade, folded into one matmul)."""
+    p = int(wide_fs)
+    d = p // cfg.rf_fs
+    down = cfg.rf_decim
+    h_c = np.asarray(filters.design_lpf(p, cfg.rf_fs / 2 * 0.8,
+                                        cfg.rf_taps * 2 + 1), np.float64)
+    h_f = np.asarray(filters.design_lpf(cfg.rf_fs, cfg.rf_fc, cfg.rf_taps),
+                     np.float64)
+    x = iw.astype(np.float64) + 1j * qw.astype(np.float64)
+    n = x.shape[0]
+    k = np.arange(n, dtype=np.int64)
+    outs = []
+    for f in offsets:
+        fr = int(f) % p
+        tone = np.exp(-2j * np.pi * ((fr * k) % p).astype(np.float64) / p)
+        b = x * tone
+        y1 = np.convolve(b, h_c)[:n:d]                    # y[m]=sum h[t]b[mD-t]
+        n1 = n // d
+        y2 = np.convolve(y1, h_f)[:n1:down]
+        iq = y2[: n1 // down]
+        i_s, q_s = iq.real, iq.imag
+        ip = np.concatenate([[0.0], i_s[:-1]])
+        qp = np.concatenate([[0.0], q_s[:-1]])
+        num = i_s * (q_s - qp) - q_s * (i_s - ip)
+        den = i_s * i_s + q_s * q_s
+        outs.append(np.where((i_s == 0) & (q_s == 0), 0.0,
+                             num / np.where(den == 0, 1.0, den)))
+    return np.stack(outs)
+
+
+def _mk(cfg, wide_fs, offs, dtype="f32"):
+    return FusedWidebandFrontend(cfg, wide_fs, offs, compute_dtype=dtype)
+
+
+def test_fused_demod_matches_float64_oracle():
+    rx = Receiver(0, stereo=False, rds=False)
+    cfg = rx.cfg
+    wide_fs = 4 * cfg.rf_fs
+    offs = [-1_700_000, 800_000, 2_300_000]      # 100 kHz raster
+    wf = _mk(cfg, wide_fs, offs)
+    assert wf.lo <= 12
+
+    rng = np.random.default_rng(11)
+    n = 2 * cfg.block_size_iq * wf.decim
+    iw = rng.standard_normal(n).astype(np.float32) * 0.3
+    qw = rng.standard_normal(n).astype(np.float32) * 0.3
+
+    demod, st = wf(jnp.asarray(iw), jnp.asarray(qw), wf.init_state())
+    assert demod.shape == (3, n // wf.dt)
+    ref = _oracle_demod(cfg, iw, qw, wide_fs, offs)
+    for s in range(len(offs)):
+        a, b = np.asarray(demod)[s], ref[s]
+        snr = 10 * np.log10(np.mean(b ** 2) /
+                            (np.mean((a - b) ** 2) + 1e-30))
+        assert snr > 80, f"station {s}: {snr:.1f} dB"
+    assert int(st.pos) == (n // wf.dt) % wf.lo
+
+
+def test_fused_segment_continuity():
+    """Two chained segment calls must equal one double-length call —
+    the raw-rail tail, carried discriminator samples, and the residual
+    pos-rotation all line up across the boundary."""
+    rx = Receiver(0, stereo=False, rds=False)
+    cfg = rx.cfg
+    wide_fs = 4 * cfg.rf_fs
+    offs = [-1_300_000, 2_300_000]
+    wf = _mk(cfg, wide_fs, offs)
+    # 1-block segments move pos by a non-multiple of lo (the rotation
+    # residual is exercised, not vacuous)
+    assert (cfg.block_size_iq // cfg.rf_decim) % wf.lo != 0
+
+    rng = np.random.default_rng(17)
+    n = 2 * cfg.block_size_iq * wf.decim
+    iw = jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.3)
+    qw = jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.3)
+
+    full, _ = wf(iw, qw, wf.init_state())
+    st = wf.init_state()
+    parts = []
+    for seg in (slice(0, n // 2), slice(n // 2, n)):
+        d, st = wf(iw[seg], qw[seg], st)
+        parts.append(np.asarray(d))
+    got = np.concatenate(parts, axis=-1)
+    a, b = got, np.asarray(full)
+    snr = 10 * np.log10(np.mean(b ** 2) / (np.mean((a - b) ** 2) + 1e-30))
+    # not bit-exact: XLA's f32 K-reduction blocking differs with the
+    # frame-count (M) dimension; 100 dB == pure f32 rounding
+    assert snr > 100, f"split-vs-single {snr:.1f} dB"
+
+
+def test_fused_bf16_parity_and_dtypes():
+    """bf16 weights/rails (the TPU serving default) vs f32-HIGHEST: the
+    injected noise must stay comparable to the uint8 hop it replaces
+    (~-49 dB); bf16x2 (hi+lo split taps) must land between the two.
+    Output demod and all state leaves stay f32 (npz contract)."""
+    rx = Receiver(0, stereo=False, rds=False)
+    cfg = rx.cfg
+    wide_fs = 4 * cfg.rf_fs
+    offs = [-1_700_000, 800_000]
+    # a REAL FM multiplex input: the discriminator is num/den and den is
+    # the squared envelope — on noise input den passes near zero and the
+    # bf16-vs-f32 comparison is ill-conditioned (measured 6.5 dB on
+    # noise, >35 dB on FM signal); FM signals have constant envelope
+    stations = [dict(offset_hz=o, ps_name="PARITY-T", pi=0x1234, pty=1,
+                     tone_left=700.0, tone_right=700.0) for o in offs]
+    iw_np, qw_np, _ = synth.wideband_iq(cfg, wide_fs, stations, 3)
+    iw, qw = jnp.asarray(iw_np), jnp.asarray(qw_np)
+
+    d_f32, _ = _mk(cfg, wide_fs, offs, "f32")(iw, qw,
+                                              _mk(cfg, wide_fs, offs,
+                                                  "f32").init_state())
+    for dtype, bound in (("bf16", 35), ("bf16x2", 45)):
+        wf = _mk(cfg, wide_fs, offs, dtype)
+        d, st = wf(iw, qw, wf.init_state())
+        assert d.dtype == jnp.float32
+        for leaf in jax.tree_util.tree_leaves(st):
+            assert leaf.dtype in (jnp.float32, jnp.int32)
+        a, b = np.asarray(d), np.asarray(d_f32)
+        snr = 10 * np.log10(np.mean(b ** 2) /
+                            (np.mean((a - b) ** 2) + 1e-30))
+        assert snr > bound, f"{dtype}: {snr:.1f} dB"
+
+
+def test_fused_state_checkpoint_roundtrip():
+    from real_time_sdr_tpu.utils.state import save_state, load_state
+
+    rx = Receiver(0, stereo=False, rds=False)
+    cfg = rx.cfg
+    wide_fs = 4 * cfg.rf_fs
+    offs = [-1_300_000, 800_000]
+    wf = _mk(cfg, wide_fs, offs)
+    rng = np.random.default_rng(29)
+    n = cfg.block_size_iq * wf.decim
+    iw = jnp.asarray(rng.standard_normal(2 * n).astype(np.float32) * 0.3)
+    qw = jnp.asarray(rng.standard_normal(2 * n).astype(np.float32) * 0.3)
+
+    _, st = wf(iw[:n], qw[:n], wf.init_state())
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "wb_state")
+        save_state(p, st)
+        st2 = load_state(p, wf.init_state())
+    d_a, _ = wf(iw[n:], qw[n:], st)
+    d_b, _ = wf(iw[n:], qw[n:], st2)
+    np.testing.assert_array_equal(np.asarray(d_a), np.asarray(d_b))
+
+
+def test_fused_eligibility():
+    rx = Receiver(0, stereo=False, rds=False)
+    cfg = rx.cfg
+    wide_fs = 4 * cfg.rf_fs
+    assert FusedWidebandFrontend.eligible(cfg, wide_fs, [-300_000, 100_000])
+    # a pathological off-raster offset blows the IF-rate tone lcm
+    assert not FusedWidebandFrontend.eligible(cfg, wide_fs, [7])
+    with pytest.raises(ValueError):
+        FusedWidebandFrontend(cfg, wide_fs, [7])
+
+
+@pytest.mark.slow
+def test_fused_adjacent_channel_interferer():
+    """+20 dB adjacent-channel interferer one raster step away: the
+    combined channelizer*frontend filter must isolate the weak station
+    for full stereo + RDS PS decode (the fused path's selectivity is the
+    cascade's — both filters apply before the discriminator)."""
+    rx = Receiver(0, stereo=True, rds=True, pll_tier=1)
+    cfg = rx.cfg
+    wide_fs = 4 * cfg.rf_fs
+    stations = [
+        dict(offset_hz=-400_000, ps_name="WEAK-OK ", pi=0x3E3E, pty=4,
+             tone_left=700.0, tone_right=700.0, amp=1.0),
+        dict(offset_hz=-200_000, ps_name="LOUD-ADJ", pi=0x4F4F, pty=8,
+             tone_left=1800.0, tone_right=1800.0, amp=10.0),  # +20 dB
+    ]
+    nb = 26
+    iw, qw, truths = synth.wideband_iq(cfg, wide_fs, stations, nb)
+    wf = _mk(cfg, wide_fs, [s["offset_hz"] for s in stations])
+    bank = ChannelBank(rx, n_channels=2)
+    state, out, _ = bank.run_channelized_fused(
+        bank.init_state(), wf, jnp.asarray(iw), jnp.asarray(qw),
+        wf.init_state())
+    fs = float(cfg.audio_fs)
+    for s_idx, (truth, tone_hz) in enumerate(zip(truths, (700.0, 1800.0))):
+        left = np.asarray(out.left)[s_idx]
+        left = left[len(left) // 3:]
+        sp = np.abs(np.fft.rfft(left * np.hanning(len(left))))
+        tone = np.fft.rfftfreq(len(left), 1 / fs)[sp.argmax()]
+        assert abs(tone - tone_hz) < 10, f"station {s_idx}: tone {tone:.0f}"
+        framer = RdsFramer()
+        bits = np.asarray(out.rds_bits)[s_idx]
+        nbs = np.asarray(out.rds_nbits)[s_idx]
+        for b in range(bits.shape[0]):
+            if nbs[b] > 0:
+                framer.feed(bits[b][:nbs[b]])
+        assert framer.events.ps_name == truth["ps_name"], f"station {s_idx}"
+        assert framer.events.pi == truth["pi"]
+
+
+@pytest.mark.slow
+def test_fused_channelize_and_decode_two_stations():
+    """End-to-end: wideband capture -> fused frontend -> ChannelBank
+    audio+RDS decode; stereo tones and PS names must come out, matching
+    the uint8 two-stage path's decisions (the fused path skips the uint8
+    re-quantization, so audio is compared by decode results, not bits)."""
+    rx = Receiver(0, stereo=True, rds=True, pll_tier=1)
+    cfg = rx.cfg
+    wide_fs = 4 * cfg.rf_fs
+    stations = [
+        dict(offset_hz=-1_700_000, ps_name="STATION1", pi=0x1111, pty=5,
+             tone_left=440.0, tone_right=440.0),
+        dict(offset_hz=2_300_000, ps_name="STATION2", pi=0x2222, pty=9,
+             tone_left=900.0, tone_right=900.0),
+    ]
+    nb = 26
+    iw, qw, truths = synth.wideband_iq(cfg, wide_fs, stations, nb)
+
+    wf = _mk(cfg, wide_fs, [s["offset_hz"] for s in stations])
+    bank = ChannelBank(rx, n_channels=2)
+    state, out, wstate = bank.run_channelized_fused(
+        bank.init_state(), wf, jnp.asarray(iw), jnp.asarray(qw),
+        wf.init_state())
+
+    fs = float(cfg.audio_fs)
+    for s_idx, truth in enumerate(truths):
+        left = np.asarray(out.left)[s_idx]
+        left = left[len(left) // 3:]
+        sp = np.abs(np.fft.rfft(left * np.hanning(len(left))))
+        tone = np.fft.rfftfreq(len(left), 1 / fs)[sp.argmax()]
+        expected = 440.0 if s_idx == 0 else 900.0
+        assert abs(tone - expected) < 10
+        framer = RdsFramer()
+        bits = np.asarray(out.rds_bits)[s_idx]
+        nbs = np.asarray(out.rds_nbits)[s_idx]
+        for b in range(bits.shape[0]):
+            if nbs[b] > 0:
+                framer.feed(bits[b][:nbs[b]])
+        assert framer.events.ps_name == truth["ps_name"], f"station {s_idx}"
+        assert framer.events.pi == truth["pi"]
