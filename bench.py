@@ -390,17 +390,25 @@ def main() -> None:
             from real_time_sdr_tpu.parallel.channel import ChannelBank
             bank = ChannelBank(rx, n_st)
             # segment serving (same shape rule as the station bank): one
-            # device call channelizes + decodes wb_seg blocks — per-block
-            # dispatch measured 6x realtime where this form reaches the
-            # 12-block graph's economics
-            wb_seg = 12
+            # device call channelizes + decodes wb_seg blocks. Per-scale
+            # optimum measured 2026-08-20: the fused frontend runs so much
+            # faster that the working-set knee moves — 8 stations peak at
+            # seg 24 (~400x), 64 stations at seg 8 (~72x); the u8 path
+            # keeps its historic seg-12 shape
+            wb_seg = 24 if wb_fused else 12
             n_wb = 2  # wideband segments cycled through the chain
             block_pairs = cfg.block_size_iq * ch.decim
             rng = np.random.default_rng(0)
-            iw = jnp.asarray(rng.standard_normal(
-                (n_wb, wb_seg * block_pairs)).astype(np.float32) * 0.1)
-            qw = jnp.asarray(rng.standard_normal(
-                (n_wb, wb_seg * block_pairs)).astype(np.float32) * 0.1)
+            # SEPARATE device arrays per cycled segment: indexing one
+            # (n_wb, N) array per rep dispatches an extra full-segment
+            # slice copy each call (measured 3.7 ms/run at 8 stations —
+            # 3x the whole fused compute)
+            iw = [jnp.asarray(rng.standard_normal(
+                (wb_seg * block_pairs,)).astype(np.float32) * 0.1)
+                for _ in range(n_wb)]
+            qw = [jnp.asarray(rng.standard_normal(
+                (wb_seg * block_pairs,)).astype(np.float32) * 0.1)
+                for _ in range(n_wb)]
 
             def wb_step(cstate, bstate, i, q):
                 if wb_fused:
@@ -418,13 +426,21 @@ def main() -> None:
             cs, bs = ch.init_state(), rx.init_state(batch=(n_st,))
             cs2, bs2, dig = wb_jit(cs, bs, iw[0], qw[0])
             fetch(dig)
-            reps = 16
-            t0 = time.perf_counter()
-            c, b = cs, bs
-            for r in range(reps):
-                c, b, dig = wb_jit(c, b, iw[r % n_wb], qw[r % n_wb])
-            fetch(dig)
-            per_block = (time.perf_counter() - t0) / reps / wb_seg
+            # adaptive reps: a fused run is ~1-4 ms, far under the ~50 ms
+            # tunnel fetch floor — grow until the span dominates the RPC
+            reps, span = 16, 0.0
+            while remaining() > 10.0:
+                t0 = time.perf_counter()
+                c, b = cs, bs
+                for r in range(reps):
+                    c, b, dig = wb_jit(c, b, iw[r % n_wb], qw[r % n_wb])
+                fetch(dig)
+                span = time.perf_counter() - t0
+                if span >= 1.0 or reps >= 4096:
+                    break
+                reps = min(4096, max(reps * 2,
+                                     int(reps * 1.3 / max(span, 1e-3))))
+            per_block = span / reps / wb_seg
             wb_ms = block_pairs / per_block / 1e6
             rt = wb_ms / (wide_fs / 1e6)
             print(f"# wideband channelize+decode ({n_st} stations from one "

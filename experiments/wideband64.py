@@ -25,12 +25,14 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--stations", type=int, default=64)
-    ap.add_argument("--seg", type=int, default=24,
-                    help="wideband blocks per device call (24 measured "
-                         "best on v5e with the Mosaic epilogue: 24.2x vs "
-                         "21.3x at 12, 23.0x at 48 — amortizes the "
-                         "per-dispatch tunnel gap; 2026-08-20)")
-    ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--seg", type=int, default=None,
+                    help="wideband blocks per device call (default: 8 for "
+                         "the fused frontend — its measured v5e optimum, "
+                         "~72x vs 48x at seg 24; 24 for the u8 path, its "
+                         "Mosaic-epilogue optimum — both 2026-08-20)")
+    ap.add_argument("--reps", type=int, default=None,
+                    help="timing reps (default: scaled so the measured "
+                         "span dominates the ~50 ms tunnel fetch floor)")
     ap.add_argument("--path", choices=("auto", "fused", "u8"),
                     default="auto",
                     help="wideband frontend: fused one-matmul demod "
@@ -68,6 +70,10 @@ def main() -> None:
     else:
         ch = make_wideband_frontend(cfg, wide_fs, offs)
     fused = isinstance(ch, FusedWidebandFrontend)
+    if args.seg is None:
+        args.seg = 8 if fused else 24
+    if args.reps is None:
+        args.reps = max(8, 512 // args.seg)
     print(f"# frontend: {'fused one-matmul demod' if fused else 'two-stage uint8'}"
           + (f" (lo={ch.lo}, R={ch.r_n}, {ch.compute_dtype})" if fused
              else f" (tone lcm {ch.tone_period})"), file=sys.stderr)
