@@ -29,11 +29,14 @@ matmul partitions by output columns.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from real_time_sdr_tpu.models.channelizer import Channelizer, ChannelizerState
 from real_time_sdr_tpu.models.receiver import Receiver
+from real_time_sdr_tpu.models.wideband_frontend import (
+    FusedWidebandFrontend, FusedWidebandState)
 
 
 class ShardedWideband:
@@ -115,3 +118,142 @@ class ShardedWideband:
                 and q_wide.sharding == self._sh_rep):
             q_wide = self.replicate(q_wide)
         return self._jit(cstate, bstate, i_wide, q_wide)
+
+
+class ShardedFusedWideband:
+    """One wideband capture in, S sharded station decodes out — through
+    the FUSED one-matmul frontend (models/wideband_frontend.py, the
+    single-chip wideband serving default).
+
+    Sharding layout (station axis ``ch``):
+
+    - wideband rails, raw-rail tails and the tone position: replicated
+      (the rails are the SMALL shared operand; each device re-runs the
+      elementwise frame construction locally rather than receiving a
+      broadcast of station outputs);
+    - the fold weight matrix, viewed (2J, R, 2, S), shards on its
+      station axis — each device's matmul covers only ITS stations'
+      columns (1/n of the FLOPs), run under ``shard_map`` so the
+      partitioning is explicit, not a GSPMD guess;
+    - residual rotation tables, carried discriminator samples, the
+      (S, n_if) demod, and the whole receiver bank shard on stations.
+
+    No collectives anywhere: the only shared value is the replicated
+    input, exactly like the mix-mode ShardedWideband.
+    """
+
+    def __init__(self, wf: FusedWidebandFrontend, rx: Receiver, mesh: Mesh,
+                 axis: str = "ch"):
+        s_ch = len(wf.offsets)
+        assert s_ch % mesh.shape[axis] == 0, (
+            f"{s_ch} stations do not tile the {axis} axis "
+            f"({mesh.shape[axis]} shards)")
+        self.wf = wf
+        self.rx = rx
+        self.mesh = mesh
+        self.axis = axis
+        self._sh_ch = NamedSharding(mesh, P(axis))
+        self._sh_rep = NamedSharding(mesh, P())
+        # weights station-major on the LAST axis of a (2J, R, 2, S) view:
+        # the shard-local reshape back to (2J, R*2*S_local) is exactly the
+        # unsharded column layout with s_ch -> S_local
+        self._w4 = wf._w.reshape(2 * wf.j_w, wf.r_n, 2, s_ch)
+        self._jit = jax.jit(self._step)
+
+    def init_state(self):
+        ws = self.wf.init_state()
+        bs = self.rx.init_state(batch=(len(self.wf.offsets),))
+        sh = (FusedWidebandState(
+                  i_tail=self._sh_rep, q_tail=self._sh_rep,
+                  prev_i=self._sh_ch, prev_q=self._sh_ch,
+                  pos=self._sh_rep),
+              jax.tree_util.tree_map(lambda _: self._sh_ch, bs))
+        return jax.jit(lambda: (ws, bs), out_shardings=sh)()
+
+    def _frontend_local(self, w4_l, pc_l, ps_l, i_tail, q_tail,
+                        prev_i_l, prev_q_l, pos, i_wide, q_wide):
+        """Per-shard body: the FusedWidebandFrontend.__call__ math with
+        s_ch = this shard's station count (see that docstring)."""
+        from real_time_sdr_tpu.ops.fir import barrier
+        wf = self.wf
+        n = i_wide.shape[-1]
+        plan = wf._plan(n)
+        n_if = plan[0]
+        s_l = w4_l.shape[-1]
+        r_n = wf.r_n
+        bf16 = wf.compute_dtype.startswith("bf16")
+        dtype = jnp.bfloat16 if bf16 else jnp.float32
+        xi = jnp.concatenate([i_tail, i_wide]).astype(dtype)
+        xq = jnp.concatenate([q_tail, q_wide]).astype(dtype)
+        xi = barrier(xi, "chanfold")
+        xq = barrier(xq, "chanfold")
+        fr = jnp.concatenate([wf._frames(xi, plan),
+                              wf._frames(xq, plan)], axis=-1)
+        w_l = w4_l.reshape(2 * wf.j_w, r_n * 2 * s_l)
+        if wf.compute_dtype == "bf16":
+            y = jnp.einsum("cj,jr->cr", fr, w_l.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+        elif wf.compute_dtype == "bf16x2":
+            w_hi = w_l.astype(jnp.bfloat16)
+            w_lo = (w_l - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            y = (jnp.einsum("cj,jr->cr", fr, w_hi,
+                            preferred_element_type=jnp.float32)
+                 + jnp.einsum("cj,jr->cr", fr, w_lo,
+                              preferred_element_type=jnp.float32))
+        else:
+            y = jnp.einsum("cj,jr->cr", fr, w_l,
+                           precision=jax.lax.Precision.HIGHEST)
+        pos_l = pos % wf.lo
+        pc = jax.lax.dynamic_slice_in_dim(pc_l, pos_l, 1, 0)[0]
+        ps = jax.lax.dynamic_slice_in_dim(ps_l, pos_l, 1, 0)[0]
+        y4 = y.reshape(-1, r_n, 2, s_l)
+        vr, vi = y4[:, :, 0, :], y4[:, :, 1, :]
+        i_t = (vr * pc - vi * ps).reshape(-1, s_l)[:n_if]
+        q_t = (vi * pc + vr * ps).reshape(-1, s_l)[:n_if]
+        ip = jnp.concatenate([prev_i_l[None, :], i_t[:-1]], axis=0)
+        qp = jnp.concatenate([prev_q_l[None, :], q_t[:-1]], axis=0)
+        num = i_t * (q_t - qp) - q_t * (i_t - ip)
+        den = i_t * i_t + q_t * q_t
+        zero = (i_t == 0.0) & (q_t == 0.0)
+        demod_t = jnp.where(zero, 0.0,
+                            num / jnp.where(den == 0.0, 1.0, den))
+        return demod_t.T, i_t[n_if - 1], q_t[n_if - 1]
+
+    def _step(self, wstate, bstate, i_wide, q_wide):
+        wf = self.wf
+        ax = self.axis
+        fe = jax.shard_map(
+            self._frontend_local, mesh=self.mesh,
+            in_specs=(P(None, None, None, ax), P(None, ax), P(None, ax),
+                      P(), P(), P(ax), P(ax), P(), P(), P()),
+            out_specs=(P(ax), P(ax), P(ax)),
+            check_vma=False)
+        demod, prev_i, prev_q = fe(
+            jnp.asarray(self._w4), wf._pc, wf._ps,
+            wstate.i_tail, wstate.q_tail, wstate.prev_i, wstate.prev_q,
+            wstate.pos, i_wide, q_wide)
+        n_if = demod.shape[-1]
+        tl = wf.tail_len
+        new_w = FusedWidebandState(
+            jnp.concatenate([wstate.i_tail, i_wide])[-tl:],
+            jnp.concatenate([wstate.q_tail, q_wide])[-tl:],
+            prev_i, prev_q, (wstate.pos + n_if) % wf.lo)
+        bstate, out = jax.vmap(self.rx.run_segment_demod)(bstate, demod)
+        return new_w, bstate, out
+
+    def replicate(self, arr: np.ndarray) -> jax.Array:
+        arr = np.asarray(arr)
+        return jax.make_array_from_callback(arr.shape, self._sh_rep,
+                                            lambda idx: arr[idx])
+
+    def step(self, wstate, bstate, i_wide, q_wide):
+        """i_wide/q_wide: (n,) f32 wideband rails (host or replicated
+        global arrays); returns (wstate, bstate, out) with every
+        station-major leaf sharded."""
+        if not (isinstance(i_wide, jax.Array)
+                and i_wide.sharding == self._sh_rep):
+            i_wide = self.replicate(i_wide)
+        if not (isinstance(q_wide, jax.Array)
+                and q_wide.sharding == self._sh_rep):
+            q_wide = self.replicate(q_wide)
+        return self._jit(wstate, bstate, i_wide, q_wide)

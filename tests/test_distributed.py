@@ -327,6 +327,36 @@ _WORKER_WIDEBAND = textwrap.dedent("""
         c0 = shard.index[0].start or 0
         got = np.asarray(shard.data)
         assert (got == ref_bits[c0:c0 + got.shape[0]]).all()
+
+    # FUSED frontend over the same mesh/capture (the single-chip wideband
+    # serving default): shard_map on the weight columns, no collectives
+    from real_time_sdr_tpu.models.wideband_frontend import (
+        FusedWidebandFrontend)
+    from real_time_sdr_tpu.parallel.wideband import ShardedFusedWideband
+    wf = FusedWidebandFrontend(cfg, wide_fs, offs)
+    sf = ShardedFusedWideband(wf, rx, mesh)
+    ws, bs2 = sf.init_state()
+    ws, bs2, out_f = sf.step(ws, bs2, iw, qw)
+    demod_u, _ = wf(jnp.asarray(iw), jnp.asarray(qw), wf.init_state())
+    _, out_fu = jax.vmap(rx.run_segment_demod)(
+        rx.init_state(batch=(len(offs),)), demod_u)
+    ref_left_f = np.asarray(out_fu.left)
+    ref_bits_f = np.asarray(out_fu.rds_bits)
+    checked = 0
+    for shard in out_f.left.addressable_shards:
+        c0 = shard.index[0].start or 0
+        got = np.asarray(shard.data)
+        for j in range(got.shape[0]):
+            ref = ref_left_f[c0 + j]
+            snr = 10 * np.log10(np.mean(ref ** 2) /
+                                (np.mean((ref - got[j]) ** 2) + 1e-30))
+            assert snr > 70, f"fused st {c0+j}: {snr:.1f} dB"
+            checked += 1
+    assert checked == 2, checked
+    for shard in out_f.rds_bits.addressable_shards:
+        c0 = shard.index[0].start or 0
+        got = np.asarray(shard.data)
+        assert (got == ref_bits_f[c0:c0 + got.shape[0]]).all()
     print(f"WORKER_OK {pid}", flush=True)
 """)
 

@@ -180,6 +180,54 @@ def test_fused_eligibility():
         FusedWidebandFrontend(cfg, wide_fs, [7])
 
 
+def test_sharded_fused_wideband_matches_unsharded():
+    """ShardedFusedWideband (fused frontend + bank in ONE mesh
+    computation, station axis sharded over 8 devices via shard_map on
+    the weight columns) must equal the unsharded fused chain: audio to
+    f32 tolerance, RDS bit decisions equal — across two carried-state
+    segments."""
+    from jax.sharding import Mesh
+    from real_time_sdr_tpu.parallel.wideband import ShardedFusedWideband
+
+    rx = Receiver(0, stereo=True, rds=True, pll_tier=3)
+    cfg = rx.cfg
+    wide_fs = 4 * cfg.rf_fs
+    n_st = 8
+    offs = [int((k - (n_st - 1) / 2) * 300_000) for k in range(n_st)]
+    wf = _mk(cfg, wide_fs, offs)
+
+    rng = np.random.default_rng(13)
+    nseg = 2 * cfg.block_size_iq * wf.decim
+    iw = rng.standard_normal(2 * nseg).astype(np.float32) * 0.2
+    qw = rng.standard_normal(2 * nseg).astype(np.float32) * 0.2
+
+    mesh = Mesh(np.array(jax.devices()), ("ch",))
+    sw = ShardedFusedWideband(wf, rx, mesh)
+    ws, bs = sw.init_state()
+    leaf = jax.tree_util.tree_leaves(bs)[0]
+    assert len(leaf.sharding.device_set) == 8, leaf.sharding
+    assert len(ws.prev_i.sharding.device_set) == 8, ws.prev_i.sharding
+
+    from real_time_sdr_tpu.parallel.channel import ChannelBank
+    bank = ChannelBank(rx, n_st)
+    ws_u, bs_u = wf.init_state(), rx.init_state(batch=(n_st,))
+
+    for seg in (slice(0, nseg), slice(nseg, 2 * nseg)):
+        ws, bs, out = sw.step(ws, bs, iw[seg], qw[seg])
+        bs_u, out_u, ws_u = bank.run_channelized_fused(
+            bs_u, wf, jnp.asarray(iw[seg]), jnp.asarray(qw[seg]), ws_u)
+        a, b = np.asarray(out.left), np.asarray(out_u.left)
+        snr = 10 * np.log10(np.mean(b ** 2) /
+                            (np.mean((a - b) ** 2) + 1e-30))
+        assert snr > 70, f"{seg}: sharded audio diverges {snr:.1f} dB"
+        np.testing.assert_array_equal(np.asarray(out.rds_nbits),
+                                      np.asarray(out_u.rds_nbits))
+        np.testing.assert_array_equal(np.asarray(out.rds_bits),
+                                      np.asarray(out_u.rds_bits))
+        np.testing.assert_array_equal(np.asarray(ws.pos),
+                                      np.asarray(ws_u.pos))
+
+
 @pytest.mark.slow
 def test_fused_adjacent_channel_interferer():
     """+20 dB adjacent-channel interferer one raster step away: the
