@@ -88,7 +88,7 @@ def main() -> None:
     def step(cstate, bstate, i, q):
         if fused:
             bstate, out, cstate = bank.run_channelized_fused(
-                bstate, ch, i, q, cstate)
+                bstate, ch, i, q, cstate, group=16)
         else:
             bstate, out, cstate = bank.run_channelized(
                 bstate, ch, i, q, cstate)

@@ -180,6 +180,37 @@ def test_fused_eligibility():
         FusedWidebandFrontend(cfg, wide_fs, [7])
 
 
+def test_fused_grouped_bank_matches_ungrouped():
+    """run_channelized_fused(group=g) — the lax.map cache-locality
+    sub-batching — must produce the ungrouped outputs (same per-station
+    work, different batching): audio to f32 tolerance, RDS bits equal."""
+    from real_time_sdr_tpu.parallel.channel import ChannelBank
+
+    rx = Receiver(0, stereo=True, rds=True, pll_tier=3)
+    cfg = rx.cfg
+    wide_fs = 4 * cfg.rf_fs
+    offs = [-1_700_000, -600_000, 800_000, 2_300_000]
+    wf = _mk(cfg, wide_fs, offs)
+    bank = ChannelBank(rx, n_channels=4)
+    rng = np.random.default_rng(19)
+    n = cfg.block_size_iq * wf.decim
+    iw = jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.2)
+    qw = jnp.asarray(rng.standard_normal(n).astype(np.float32) * 0.2)
+
+    bs_a, out_a, _ = bank.run_channelized_fused(
+        bank.init_state(), wf, iw, qw, wf.init_state())
+    bs_b, out_b, _ = bank.run_channelized_fused(
+        bank.init_state(), wf, iw, qw, wf.init_state(), group=2)
+    a, b = np.asarray(out_a.left), np.asarray(out_b.left)
+    snr = 10 * np.log10(np.mean(a ** 2) / (np.mean((a - b) ** 2) + 1e-30))
+    assert snr > 100, f"grouped audio diverges {snr:.1f} dB"
+    np.testing.assert_array_equal(np.asarray(out_a.rds_bits),
+                                  np.asarray(out_b.rds_bits))
+    for la, lb in zip(jax.tree_util.tree_leaves(bs_a),
+                      jax.tree_util.tree_leaves(bs_b)):
+        assert la.shape == lb.shape
+
+
 def test_sharded_fused_wideband_matches_unsharded():
     """ShardedFusedWideband (fused frontend + bank in ONE mesh
     computation, station axis sharded over 8 devices via shard_map on
