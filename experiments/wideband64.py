@@ -8,6 +8,12 @@ statics — the naive per-sample tables would need multi-GB at segment
 lengths) and the 64-wide channel bank decodes stereo+RDS for every
 station. Reports ms/block and x-realtime on the WIDEBAND input rate.
 
+Scale beyond 64 (fused frontend only): the capture rate auto-widens to
+fit the raster span (--wide-mult overrides) and the combined-filter tap
+count scales with the decimation so the transition band stays ~one
+raster step (128 stations from 38.4 MS/s: 40.6x realtime, 307 MS/s of
+station IQ decoded on one v5e — 2026-08-20).
+
 Usage: python experiments/wideband64.py [--stations 64] [--seg 4]
 """
 
@@ -39,6 +45,11 @@ def main() -> None:
                          "(models/wideband_frontend.py, the serving "
                          "default on periodic grids) or the two-stage "
                          "uint8 Channelizer path")
+    ap.add_argument("--wide-mult", type=int, default=None,
+                    help="capture rate as a multiple of the station rate "
+                         "(default: smallest even multiple fitting the "
+                         "300 kHz raster span, 8 at 64 stations, 16 at "
+                         "128)")
     ap.add_argument("--decode-check", action="store_true",
                     help="also synthesize 3 real stations in the scene and "
                          "assert their PS decode (slow: host-side synth)")
@@ -50,25 +61,41 @@ def main() -> None:
 
     from real_time_sdr_tpu.models.channelizer import Channelizer
     from real_time_sdr_tpu.models.wideband_frontend import (
-        FusedWidebandFrontend, make_wideband_frontend)
+        FusedWidebandFrontend)
     from real_time_sdr_tpu.models.receiver import Receiver
     from real_time_sdr_tpu.parallel.channel import ChannelBank
     from real_time_sdr_tpu.utils import synth
 
     rx = Receiver(0, stereo=True, rds=True, pll_tier=3)
     cfg = rx.cfg
-    wide_fs = 8 * cfg.rf_fs                     # 19.2 MS/s
     n_st = args.stations
-    # 300 kHz raster centered on DC - fits 64 stations in ~19.2 MHz with
-    # filter margin; integer offsets keep the periodic-exact tone mode
+    # 300 kHz raster centered on DC; integer offsets keep the
+    # periodic-exact tone mode. The capture rate is the smallest even
+    # station-rate multiple whose Nyquist covers the raster span
+    # (64 st -> 8x = 19.2 MS/s, 128 st -> 16x = 38.4 MS/s)
     offs = [int((k - (n_st - 1) / 2) * 300_000) for k in range(n_st)]
+    span = max(abs(o) for o in offs) + 150_000
+    mult = args.wide_mult
+    if mult is None:
+        mult = 8
+        while mult * cfg.rf_fs // 2 < span:
+            mult += 2
+    wide_fs = mult * cfg.rf_fs
+    assert wide_fs // 2 >= span, (wide_fs, span)
+    # combined-filter taps scale with the decimation so the transition
+    # band stays ~one raster step (taps_factor 2 at decim 8 = the
+    # historic 64-station design; 4 at decim 16)
+    tf = max(2, mult // 4)
     if args.path == "fused":
-        ch = FusedWidebandFrontend(cfg, wide_fs, offs)
+        ch = FusedWidebandFrontend(cfg, wide_fs, offs, taps_factor=tf)
     elif args.path == "u8":
-        ch = Channelizer(cfg, wide_fs, offs)
+        ch = Channelizer(cfg, wide_fs, offs, taps_factor=tf)
         assert ch.tone_period, "expected the periodic-exact tone mode"
     else:
-        ch = make_wideband_frontend(cfg, wide_fs, offs)
+        ch = (FusedWidebandFrontend(cfg, wide_fs, offs, taps_factor=tf)
+              if os.environ.get("RTSDR_WB_FUSED", "1") != "0"
+              and FusedWidebandFrontend.eligible(cfg, wide_fs, offs)
+              else Channelizer(cfg, wide_fs, offs, taps_factor=tf))
     fused = isinstance(ch, FusedWidebandFrontend)
     if args.seg is None:
         args.seg = 8 if fused else 24
