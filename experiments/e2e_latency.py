@@ -65,12 +65,80 @@ def _read_stderr(proc, sink):
     sink.append(proc.stderr.read().decode())
 
 
+def _run_wideband(args, env) -> None:
+    """Live-paced WIDEBAND serving: one 9.6 MS/s capture with real FM
+    stations piped into `cli 0 r --stations ...` at the capture's real
+    byte rate; asserts the CLI sustains >= real time through the tunnel
+    AND decodes RDS PS live (the fused wideband frontend serving path)."""
+    import tempfile
+
+    import numpy as np
+
+    from real_time_sdr_tpu.config import mode_config
+    from real_time_sdr_tpu.utils import synth
+
+    cfg = mode_config(0)
+    n_st = max(2, args.wideband)
+    wide_fs = 4 * cfg.rf_fs
+    offs = [-1_700_000, 800_000] + [
+        int(2_300_000 + 300_000 * k) for k in range(n_st - 2)]
+    scene = [dict(offset_hz=offs[0], ps_name="LIVE-WB0", pi=0x7A7A, pty=1),
+             dict(offset_hz=offs[1], ps_name="LIVE-WB1", pi=0x7B7B, pty=2)]
+    # cover the whole run: cycling a short fixture wraps the RDS bit
+    # stream mid-group and PS assembly never completes
+    nb_gen = args.blocks + 6
+    iw, qw, _ = synth.wideband_iq(cfg, wide_fs, scene, nb_gen)
+    x = np.empty(2 * iw.shape[0], np.float32)
+    x[0::2], x[1::2] = iw, qw
+    iq_bytes = np.clip(np.round(128.0 + 127.0 * x), 0,
+                       255).astype(np.uint8).tobytes()
+    decim = wide_fs // cfg.rf_fs
+    block_bytes = 2 * cfg.block_size_iq * decim
+    budget = cfg.block_size_iq / cfg.rf_fs
+
+    with tempfile.TemporaryDirectory() as outdir:
+        p = subprocess.Popen(
+            [sys.executable, "-m", "real_time_sdr_tpu.cli", "0", "r",
+             "--warmup", "--stats",
+             "--stations=" + ",".join(str(o) for o in offs),
+             "--wide-fs", str(wide_fs), "--output-dir", outdir,
+             "--segment", str(args.segment),
+             "--pipeline", str(args.pipeline),
+             "--max-blocks", str(args.blocks),
+             *(["--cpu"] if args.cpu else [])],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, env=env, cwd=REPO)
+        esink: list = []
+        te = threading.Thread(target=_read_stderr, args=(p, esink),
+                              daemon=True)
+        te.start()
+        _feed(p, iq_bytes, block_bytes, budget, args.blocks + 2)
+        p.wait(timeout=900)
+        te.join(timeout=30)
+        err = esink[0] if esink else ""
+    for line in err.splitlines():
+        if line.startswith(("wideband frontend", "warmed", "total:")) \
+                or " ps: " in line:
+            print(line, flush=True)
+    total = [ln for ln in err.splitlines() if ln.startswith("total:")]
+    assert total, err[-2000:]
+    rt = float(total[0].rsplit(",", 1)[-1].split("x")[0])
+    assert rt >= 1.0, f"wideband live serving fell behind: {total[0]}"
+    for ps in ("LIVE-WB0", "LIVE-WB1"):
+        assert ps in err, f"PS {ps!r} not decoded live"
+    print(f"wideband live OK: {n_st} stations sustained {rt:.1f}x "
+          f"real time", flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--blocks", type=int, default=40)
     ap.add_argument("--pipeline", type=int, default=2)
     ap.add_argument("--segment", type=int, default=6)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--wideband", type=int, default=0, metavar="N",
+                    help="run the live-paced WIDEBAND serving check with "
+                         "N stations instead of the single-station runs")
     args = ap.parse_args()
 
     import numpy as np
@@ -88,6 +156,10 @@ def main() -> None:
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     extra_cpu = ["--cpu"] if args.cpu else []
+
+    if args.wideband:
+        _run_wideband(args, env)
+        return
 
     # --- run 1: real-time-paced source, fast sink -> p50/p99 latency ------
     p = _spawn(["--pipeline", str(args.pipeline),

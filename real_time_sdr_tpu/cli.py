@@ -222,12 +222,12 @@ def run_wideband(args, rx, cfg) -> int:
     seg_n = max(1, args.segment)
     if args.warmup:
         t0 = time.perf_counter()
-        zi = jnp.zeros((seg_n * block_pairs,), jnp.float32)
-        _, wout, _ = bank.run_wideband_jit(bstate, ch, zi, zi, cstate)
+        zu = jnp.full((seg_n * 2 * block_pairs,), 128, jnp.uint8)
+        _, wout, _ = bank.run_wideband_u8_jit(bstate, ch, zu, cstate)
         # warm the per-station PCM conversion (first-use remote compiles
         # otherwise land on the first live segment)
-        wpcm = (stereo_pcm(wout.left[0], wout.right[0]) if rx.stereo
-                else mono_pcm(wout.mono[0]))
+        wpcm = (stereo_pcm(wout.left, wout.right) if rx.stereo
+                else mono_pcm(wout.mono))
         np.asarray(wpcm).ravel()[:1]
         print(f"warmed up (compiled) in {time.perf_counter()-t0:.1f} s",
               file=sys.stderr)
@@ -240,7 +240,7 @@ def run_wideband(args, rx, cfg) -> int:
         # np.asarray/int() fetches each pay a full RPC round trip
         # (~40-60 ms through the axon tunnel), which with N stations could
         # never keep up live
-        pcms, out = in_flight.pop(0)
+        pcms, out, nb_real, nb_disp = in_flight.pop(0)
         if framers is not None:
             pcm_np, nb_np, bits_np = jax.device_get(
                 (pcms, out.rds_nbits, out.rds_bits))
@@ -248,10 +248,15 @@ def run_wideband(args, rx, cfg) -> int:
             pcm_np = jax.device_get(pcms)
             nb_np = bits_np = None
         for k in range(len(offsets)):
-            np.asarray(pcm_np[k]).astype("<i2").tofile(outs[k])
+            row = np.asarray(pcm_np[k])
+            if nb_real < nb_disp:
+                # trim the EOF silence padding (dispatched at the
+                # compiled segment shape) back to the blocks actually read
+                row = row[: (row.shape[-1] // nb_disp) * nb_real]
+            row.astype("<i2").tofile(outs[k])
             if framers is not None:
                 # (nb,) per-block counts in segment mode, a scalar otherwise
-                nbk = np.atleast_1d(np.asarray(nb_np[k]))
+                nbk = np.atleast_1d(np.asarray(nb_np[k]))[:nb_real]
                 bitsk = np.atleast_2d(np.asarray(bits_np[k]))
                 for bi in range(nbk.shape[0]):
                     if nbk[bi] > 0:
@@ -275,16 +280,32 @@ def run_wideband(args, rx, cfg) -> int:
         if not nb_got:
             break
         t0 = time.perf_counter()
-        x = (np.frombuffer(buf[:nb_got * 2 * block_pairs], dtype=np.uint8)
-             .astype(np.float32) - 128.0) / 128.0
-        bstate, out, cstate = bank.run_wideband_jit(  # async dispatch
-            bstate, ch, jnp.asarray(x[0::2]), jnp.asarray(x[1::2]), cstate)
+        # ship RAW BYTES: f32 rails are 4x the tunnel upload (the link
+        # measured ~23-46 MB/s; a 9.6 MS/s capture is 19 MB/s as bytes
+        # but 76 MB/s as rails — live serving fell to 0.2x before this)
+        raw = np.frombuffer(buf[:nb_got * 2 * block_pairs], dtype=np.uint8)
+        pad_blocks = 0
+        if nb_got < seg_n and not args.checkpoint:
+            # trailing partial group: pad with 0x80 "silence" to the
+            # ALREADY-COMPILED segment shape — a fresh tail-shape compile
+            # through a remote device costs tens of seconds mid-stream
+            # (same rule as the single-station loop; the pad's PCM/RDS
+            # rows are trimmed in the drain; --checkpoint keeps the
+            # exact-shape dispatch so saved state stays faithful)
+            pad_blocks = seg_n - nb_got
+            raw = np.concatenate([raw, np.full(pad_blocks * 2 * block_pairs,
+                                               128, np.uint8)])
+        bstate, out, cstate = bank.run_wideband_u8_jit(  # async dispatch
+            bstate, ch, jnp.asarray(raw), cstate)
+        # ONE batched (S, ...) PCM array: a per-station list would make the
+        # drain's device_get fetch N+2 leaves, each a full tunnel RPC
+        # (~80 ms x 8 stations measured 500-800 ms per drain — slower than
+        # the DSP it fetches)
         if rx.stereo:
-            pcms = [stereo_pcm(out.left[k], out.right[k])
-                    for k in range(len(offsets))]
+            pcms = stereo_pcm(out.left, out.right)
         else:
-            pcms = [mono_pcm(out.mono[k]) for k in range(len(offsets))]
-        in_flight.append((pcms, out))
+            pcms = mono_pcm(out.mono)
+        in_flight.append((pcms, out, nb_got, nb_got + pad_blocks))
         if len(in_flight) > args.pipeline:  # defer fetch to overlap dispatch
             drain_one()
         n_blocks += nb_got

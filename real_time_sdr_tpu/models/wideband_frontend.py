@@ -79,6 +79,32 @@ class FusedWidebandState(NamedTuple):
     pos: jax.Array      # () int32 IF-rate sample count mod lo
 
 
+def u8_to_rails(raw_u8: jax.Array):
+    """Interleaved raw uint8 capture (2N,) -> ((N,) f32 i, q) ON DEVICE.
+
+    Live ingest must ship BYTES up the link (the axon tunnel measured
+    ~23-46 MB/s; a 9.6 MS/s capture is 19 MB/s as bytes but 76 MB/s as
+    f32 rails — rails-over-the-wire fell to 0.2x real time), so the
+    deinterleave runs device-side. Form matters enormously (cold-compile
+    + runtime A/B at 4 stations x 6 blocks, v5e 2026-08-20):
+
+    - normalize f32 then TWO STRIDE-2 SLICES of the flat array (this
+      form): 11 s compile, 2.26 ms/run (rails baseline 6.9 s / 1.53);
+    - reshape (N, 2) + column slices: 106 s compile, 6.34 ms/run — the
+      2-minor layout flips the whole downstream graph's layout
+      assignment (the known (..., 2, n) rail-batch pathology);
+    - u8(N,2) -> u16 bitcast + byte split: 172 s compile, 3.99 ms/run;
+    - interleaved frames x row-interleaved weights (no deinterleave at
+      all): 193 s compile, 3.04 ms/run — the fusion search explodes on
+      the doubled-stride frame pattern.
+    """
+    x = (raw_u8.astype(jnp.float32) - 128.0) * (1.0 / 128.0)
+    n2 = x.shape[-1]
+    i_wide = jax.lax.slice(x, (0,), (n2 - 1,), (2,))
+    q_wide = jax.lax.slice(x, (1,), (n2,), (2,))
+    return i_wide, q_wide
+
+
 class FusedWidebandFrontend:
     """Wideband rails -> per-station IF-rate FM demod, one MXU matmul.
 
@@ -236,6 +262,21 @@ class FusedWidebandFrontend:
                 "bytes": byts, "dims": (c_frames, 2 * self.j_w,
                                         self.r_n * 2 * s_ch)}
 
+    def _matmul(self, fr: jax.Array, w: np.ndarray) -> jax.Array:
+        if self.compute_dtype == "bf16":
+            return jnp.einsum("cj,jr->cr", fr,
+                              jnp.asarray(w, dtype=jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+        if self.compute_dtype == "bf16x2":
+            w_hi = w.astype(jnp.bfloat16)
+            w_lo = (w - np.asarray(w_hi, np.float32)).astype(jnp.bfloat16)
+            return (jnp.einsum("cj,jr->cr", fr, jnp.asarray(w_hi),
+                               preferred_element_type=jnp.float32)
+                    + jnp.einsum("cj,jr->cr", fr, jnp.asarray(w_lo),
+                                 preferred_element_type=jnp.float32))
+        return jnp.einsum("cj,jr->cr", fr, jnp.asarray(w),
+                          precision=jax.lax.Precision.HIGHEST)
+
     def __call__(self, i_wide: jax.Array, q_wide: jax.Array,
                  state: FusedWidebandState):
         """i_wide, q_wide: (N,) float32 at wide_fs, N % (D*rf_decim) == 0.
@@ -243,9 +284,7 @@ class FusedWidebandFrontend:
         Returns (demod (S, N // (D*rf_decim)) float32, new state)."""
         n = i_wide.shape[-1]
         plan = self._plan(n)
-        n_if = plan[0]
         s_ch = len(self.offsets)
-        r_n = self.r_n
         bf16 = self.compute_dtype.startswith("bf16")
         dtype = jnp.bfloat16 if bf16 else jnp.float32
         xi = jnp.concatenate([state.i_tail, i_wide]).astype(dtype)
@@ -257,21 +296,16 @@ class FusedWidebandFrontend:
         xq = barrier(xq, "chanfold")
         fr = jnp.concatenate([self._frames(xi, plan),
                               self._frames(xq, plan)], axis=-1)
-        if self.compute_dtype == "bf16":
-            y = jnp.einsum("cj,jr->cr", fr,
-                           jnp.asarray(self._w, dtype=jnp.bfloat16),
-                           preferred_element_type=jnp.float32)
-        elif self.compute_dtype == "bf16x2":
-            w_hi = self._w.astype(jnp.bfloat16)
-            w_lo = (self._w - np.asarray(w_hi, np.float32)).astype(
-                jnp.bfloat16)
-            y = (jnp.einsum("cj,jr->cr", fr, jnp.asarray(w_hi),
-                            preferred_element_type=jnp.float32)
-                 + jnp.einsum("cj,jr->cr", fr, jnp.asarray(w_lo),
-                              preferred_element_type=jnp.float32))
-        else:
-            y = jnp.einsum("cj,jr->cr", fr, jnp.asarray(self._w),
-                           precision=jax.lax.Precision.HIGHEST)
+        y = self._matmul(fr, self._w)
+        new_tails = (jnp.concatenate([state.i_tail, i_wide])[-self.tail_len:],
+                     jnp.concatenate([state.q_tail, q_wide])[-self.tail_len:])
+        return self._epilogue(y, plan, state, new_tails)
+
+    def _epilogue(self, y: jax.Array, plan, state: FusedWidebandState,
+                  new_tails):
+        n_if = plan[0]
+        s_ch = len(self.offsets)
+        r_n = self.r_n
         # residual per-segment rotation (constant over the segment)
         pos = state.pos % self.lo
         pc = jax.lax.dynamic_slice_in_dim(self._pc, pos, 1, 0)[0]
@@ -291,10 +325,9 @@ class FusedWidebandFrontend:
         demod_t = jnp.where(zero, 0.0,
                             num / jnp.where(den == 0.0, 1.0, den))
         demod = demod_t.T                                 # (S, n_if)
-        tl = self.tail_len
         new = FusedWidebandState(
-            jnp.concatenate([state.i_tail, i_wide])[-tl:],
-            jnp.concatenate([state.q_tail, q_wide])[-tl:],
+            new_tails[0].astype(jnp.float32),
+            new_tails[1].astype(jnp.float32),
             i_t[n_if - 1], q_t[n_if - 1],
             (state.pos + n_if) % self.lo)
         return demod, new

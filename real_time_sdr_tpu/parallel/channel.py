@@ -101,6 +101,10 @@ class ChannelBank:
         chains dominate the fused graph, and a 16-wide resident working
         set measured +6% over the 64-wide vmap on v5e, seg 8)."""
         demod, wstate = wf(i_wide, q_wide, wstate)
+        state, out = self._bank_demod(state, demod, group)
+        return state, out, wstate
+
+    def _bank_demod(self, state, demod, group: int = 0):
         if group and group < self.n and self.n % group == 0:
             g = int(group)
             G = self.n // g
@@ -111,11 +115,9 @@ class ChannelBank:
             new_st_g, out_g = jax.lax.map(
                 lambda a: jax.vmap(self.rx.run_segment_demod)(a[0], a[1]),
                 (st_g, d_g))
-            state = jax.tree_util.tree_map(join, new_st_g)
-            out = jax.tree_util.tree_map(join, out_g)
-        else:
-            state, out = self._step_demod(state, demod)
-        return state, out, wstate
+            return (jax.tree_util.tree_map(join, new_st_g),
+                    jax.tree_util.tree_map(join, out_g))
+        return self._step_demod(state, demod)
 
     @property
     def _step_demod(self):
@@ -151,6 +153,36 @@ class ChannelBank:
                 lambda s, i, q, w: self.run_channelized_fused(
                     s, wf, i, q, w, group=group))
         return fn(state, i_wide, q_wide, wstate)
+
+    def run_wideband_u8_jit(self, state, fe, raw_u8, festate,
+                            group: int | None = None):
+        """LIVE-ingest wideband serving: interleaved raw uint8 capture
+        bytes in, station decodes out — the upload stays bytes (4x less
+        tunnel traffic than f32 rails, the difference between 0.2x and
+        real time on the measured ~23-46 MB/s axon link). Fused
+        frontends consume the stream directly (call_u8_stream — the
+        deinterleave never happens anywhere); the two-stage Channelizer
+        path deinterleaves on device."""
+        from real_time_sdr_tpu.models.wideband_frontend import (
+            FusedWidebandFrontend, u8_to_rails)
+        if group is None:
+            import os
+            group = (int(os.environ.get("RTSDR_WB_GROUP", "16"))
+                     if jax.default_backend() in ("tpu", "axon") else 0)
+        key = (id(fe), group, "u8")
+        fn = self._chan_jit_cache.get(key)
+        if fn is None:
+            if isinstance(fe, FusedWidebandFrontend):
+                def _u8_step(s, raw, w):
+                    demod, w = fe(*u8_to_rails(raw), w)
+                    s, out = self._bank_demod(s, demod, group)
+                    return s, out, w
+            else:
+                def _u8_step(s, raw, c):
+                    i_wide, q_wide = u8_to_rails(raw)
+                    return self.run_channelized(s, fe, i_wide, q_wide, c)
+            fn = self._chan_jit_cache[key] = jax.jit(_u8_step)
+        return fn(state, raw_u8, festate)
 
     def run_wideband_jit(self, state, fe, i_wide, q_wide, festate):
         """Serving entry for EITHER wideband frontend: dispatches on the

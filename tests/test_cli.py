@@ -162,6 +162,19 @@ def test_cli_wideband_multistation(tmp_path):
         assert a.shape == c.shape
         assert np.abs(a - c).max() <= 8  # f32 wrap-order, ~4e-4 relative
 
+    # EOF partial group (26 % 8 != 0): padded to the compiled segment
+    # shape on dispatch, trimmed in the drain — output must still be
+    # exactly 26 blocks of audio with the PS decoded
+    outdir4 = tmp_path / "stations_eof_pad"
+    r4 = run_cli(["0", "r", "--stations=-2000000,1500000",
+                  "--wide-fs", "9600000", "--output-dir", str(outdir4),
+                  "--segment", "8"], wb)
+    assert r4.returncode == 0
+    assert "ch0 ps: WIDE-A" in r4.stderr.decode()
+    for k in range(2):
+        pcm = np.fromfile(outdir4 / f"station_{k}.pcm", "<i2")
+        assert len(pcm) == 26 * cfg.audio_block * 2
+
 
 def test_cli_wideband_corrupt_sidecar_starts_fresh(tmp_path):
     """A truncated/corrupt .rds.json must rebuild ALL framers (not leave

@@ -180,6 +180,42 @@ def test_fused_eligibility():
         FusedWidebandFrontend(cfg, wide_fs, [7])
 
 
+def test_wideband_u8_ingest_matches_rails():
+    """run_wideband_u8_jit (live ingest: raw interleaved bytes up the
+    link, device-side stride-slice deinterleave — u8_to_rails) must
+    equal the f32-rails entry bit-for-bit (the normalize (x-128)/128 is
+    the exact same arithmetic host or device), for BOTH frontends,
+    including carried state across a segment boundary."""
+    from real_time_sdr_tpu.models.channelizer import Channelizer
+    from real_time_sdr_tpu.parallel.channel import ChannelBank
+
+    rx = Receiver(0, stereo=True, rds=True, pll_tier=3)
+    cfg = rx.cfg
+    wide_fs = 4 * cfg.rf_fs
+    offs = [-1_700_000, 800_000]
+    rng = np.random.default_rng(31)
+    n = 2 * cfg.block_size_iq * (wide_fs // cfg.rf_fs)
+    raw = rng.integers(0, 256, 2 * n).astype(np.uint8)
+    x = (raw.astype(np.float32) - 128.0) / 128.0
+    iw, qw = jnp.asarray(x[0::2]), jnp.asarray(x[1::2])
+
+    for fe in (_mk(cfg, wide_fs, offs), Channelizer(cfg, wide_fs, offs)):
+        bank = ChannelBank(rx, n_channels=2)
+        sa, ba = fe.init_state(), rx.init_state(batch=(2,))
+        sb, bb = fe.init_state(), rx.init_state(batch=(2,))
+        for k in range(2):
+            s2 = slice(k * n // 2, (k + 1) * n // 2)
+            s2b = slice(k * n, (k + 1) * n)
+            ba, out_a, sa = bank.run_wideband_jit(ba, fe, iw[s2], qw[s2],
+                                                  sa)
+            bb, out_b, sb = bank.run_wideband_u8_jit(
+                bb, fe, jnp.asarray(raw[s2b]), sb, group=0)
+            np.testing.assert_allclose(np.asarray(out_a.left),
+                                       np.asarray(out_b.left), atol=2e-6)
+            np.testing.assert_array_equal(np.asarray(out_a.rds_bits),
+                                          np.asarray(out_b.rds_bits))
+
+
 def test_fused_grouped_bank_matches_ungrouped():
     """run_channelized_fused(group=g) — the lax.map cache-locality
     sub-batching — must produce the ungrouped outputs (same per-station
