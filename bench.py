@@ -427,8 +427,10 @@ def main() -> None:
             cs2, bs2, dig = wb_jit(cs, bs, iw[0], qw[0])
             fetch(dig)
             # adaptive reps: a fused run is ~1-4 ms, far under the ~50 ms
-            # tunnel fetch floor — grow until the span dominates the RPC
-            reps, span = 16, 0.0
+            # tunnel fetch floor — grow until the span dominates the RPC.
+            # per_block is set INSIDE the loop (before reps updates) so a
+            # budget-bounded exit still reports span/reps consistently
+            reps, per_block = 16, None
             while remaining() > 10.0:
                 t0 = time.perf_counter()
                 c, b = cs, bs
@@ -436,11 +438,13 @@ def main() -> None:
                     c, b, dig = wb_jit(c, b, iw[r % n_wb], qw[r % n_wb])
                 fetch(dig)
                 span = time.perf_counter() - t0
+                per_block = span / reps / wb_seg
                 if span >= 1.0 or reps >= 4096:
                     break
                 reps = min(4096, max(reps * 2,
                                      int(reps * 1.3 / max(span, 1e-3))))
-            per_block = span / reps / wb_seg
+            if per_block is None:
+                raise RuntimeError("no budget left for the wideband rung")
             wb_ms = block_pairs / per_block / 1e6
             rt = wb_ms / (wide_fs / 1e6)
             print(f"# wideband channelize+decode ({n_st} stations from one "

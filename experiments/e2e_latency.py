@@ -80,8 +80,16 @@ def _run_wideband(args, env) -> None:
     cfg = mode_config(0)
     n_st = max(2, args.wideband)
     wide_fs = 4 * cfg.rf_fs
+    # load stations spread over the usable band (NOT a one-sided ladder:
+    # 2.3 MHz + k*300 kHz crosses the 4.8 MHz Nyquist at k>=9 and the
+    # aliased 'stations' would overlap instead of adding load)
+    span = wide_fs // 2 - 300_000
+    loads = [int(round((-span + 2 * span * k / max(n_st - 3, 1)) / 1e5)
+                 * 100_000) for k in range(n_st - 2)]
     offs = [-1_700_000, 800_000] + [
-        int(2_300_000 + 300_000 * k) for k in range(n_st - 2)]
+        o if o not in (-1_700_000, 800_000) else o + 200_000
+        for o in loads]
+    assert max(abs(o) for o in offs) + 150_000 <= wide_fs // 2, offs
     scene = [dict(offset_hz=offs[0], ps_name="LIVE-WB0", pi=0x7A7A, pty=1),
              dict(offset_hz=offs[1], ps_name="LIVE-WB1", pi=0x7B7B, pty=2)]
     # cover the whole run: cycling a short fixture wraps the RDS bit

@@ -233,7 +233,9 @@ def run_wideband(args, rx, cfg) -> int:
               file=sys.stderr)
     n_blocks = 0
     t_total = 0.0
-    in_flight = []  # (per-station pcm device arrays, out) awaiting fetch
+    # (batched (S, ...) pcm device array, out, real blocks, dispatched
+    # blocks incl. EOF pad) awaiting fetch
+    in_flight = []
 
     def drain_one():
         # ONE batched device_get per drained entry: per-station

@@ -129,9 +129,19 @@ class FusedWidebandFrontend:
 
     @classmethod
     def eligible(cls, cfg: ReceiverConfig, wide_fs: int,
-                 offsets_hz: list[int], cap: int = 256) -> bool:
+                 offsets_hz: list[int], cap: int | None = None) -> bool:
+        """True when the fused path applies. The tone-lcm cap bounds the
+        fold weight matrix, which grows ~quadratically with the lcm
+        (rows k_eq + (R-1)*dt with R = lcm(8, lo), columns R*2S): at
+        lo=32/dt=80/S=64 the f32 weights are ~114 MB, at lo=64 ~400 MB —
+        beyond the default cap the two-stage Channelizer path is the
+        better program, not just the safer one. RTSDR_WB_LCM_MAX
+        overrides (the same number the constructor enforces, so the
+        factory's eligible->construct sequence can never crash)."""
         if wide_fs % cfg.rf_fs:
             return False
+        if cap is None:
+            cap = int(os.environ.get("RTSDR_WB_LCM_MAX", "32"))
         return cls.output_lcm(wide_fs, cfg.rf_fs, cfg.rf_decim,
                               offsets_hz) <= cap
 
@@ -160,7 +170,7 @@ class FusedWidebandFrontend:
         self.tail_len = self.k_eq - 1
         lo = self.output_lcm(self.wide_fs, cfg.rf_fs, cfg.rf_decim,
                              self.offsets)
-        cap = int(os.environ.get("RTSDR_WB_LCM_MAX", "256"))
+        cap = int(os.environ.get("RTSDR_WB_LCM_MAX", "32"))
         if lo > cap:
             raise ValueError(
                 f"station grid's IF-rate tone lcm {lo} > {cap}; use "
@@ -262,33 +272,41 @@ class FusedWidebandFrontend:
                 "bytes": byts, "dims": (c_frames, 2 * self.j_w,
                                         self.r_n * 2 * s_ch)}
 
-    def _matmul(self, fr: jax.Array, w: np.ndarray) -> jax.Array:
+    def _matmul(self, fr: jax.Array, w) -> jax.Array:
+        w = jnp.asarray(w)  # numpy constant or traced shard_map operand
         if self.compute_dtype == "bf16":
-            return jnp.einsum("cj,jr->cr", fr,
-                              jnp.asarray(w, dtype=jnp.bfloat16),
+            return jnp.einsum("cj,jr->cr", fr, w.astype(jnp.bfloat16),
                               preferred_element_type=jnp.float32)
         if self.compute_dtype == "bf16x2":
             w_hi = w.astype(jnp.bfloat16)
-            w_lo = (w - np.asarray(w_hi, np.float32)).astype(jnp.bfloat16)
-            return (jnp.einsum("cj,jr->cr", fr, jnp.asarray(w_hi),
+            w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return (jnp.einsum("cj,jr->cr", fr, w_hi,
                                preferred_element_type=jnp.float32)
-                    + jnp.einsum("cj,jr->cr", fr, jnp.asarray(w_lo),
+                    + jnp.einsum("cj,jr->cr", fr, w_lo,
                                  preferred_element_type=jnp.float32))
-        return jnp.einsum("cj,jr->cr", fr, jnp.asarray(w),
+        return jnp.einsum("cj,jr->cr", fr, w,
                           precision=jax.lax.Precision.HIGHEST)
 
-    def __call__(self, i_wide: jax.Array, q_wide: jax.Array,
-                 state: FusedWidebandState):
-        """i_wide, q_wide: (N,) float32 at wide_fs, N % (D*rf_decim) == 0.
+    def core(self, w_cols, pc_t, ps_t, i_tail, q_tail, prev_i, prev_q,
+             pos, i_wide: jax.Array, q_wide: jax.Array):
+        """The complete fused-frontend math on an arbitrary station-column
+        subset — the SINGLE implementation behind both ``__call__`` and
+        the per-shard body of parallel.wideband.ShardedFusedWideband, so
+        the two can never drift.
 
-        Returns (demod (S, N // (D*rf_decim)) float32, new state)."""
+        w_cols: (2J, R*2*s_l) weights (numpy constant or a traced
+        shard_map operand); pc_t/ps_t: (lo, s_l) residual-rotation
+        tables; prev_i/prev_q: (s_l,) carried discriminator samples.
+        Returns (demod (s_l, n_if), last_i, last_q)."""
         n = i_wide.shape[-1]
         plan = self._plan(n)
-        s_ch = len(self.offsets)
+        n_if = plan[0]
+        r_n = self.r_n
+        s_l = w_cols.shape[-1] // (2 * r_n)
         bf16 = self.compute_dtype.startswith("bf16")
         dtype = jnp.bfloat16 if bf16 else jnp.float32
-        xi = jnp.concatenate([state.i_tail, i_wide]).astype(dtype)
-        xq = jnp.concatenate([state.q_tail, q_wide]).astype(dtype)
+        xi = jnp.concatenate([i_tail, i_wide]).astype(dtype)
+        xq = jnp.concatenate([q_tail, q_wide]).astype(dtype)
         # same fusion-explosion guard as the channelizer fold (the frame
         # construction below feeding the station bank is the exact graph
         # shape the "chanfold" barrier exists for — BENCH_NOTES 2026-08-20)
@@ -296,38 +314,39 @@ class FusedWidebandFrontend:
         xq = barrier(xq, "chanfold")
         fr = jnp.concatenate([self._frames(xi, plan),
                               self._frames(xq, plan)], axis=-1)
-        y = self._matmul(fr, self._w)
-        new_tails = (jnp.concatenate([state.i_tail, i_wide])[-self.tail_len:],
-                     jnp.concatenate([state.q_tail, q_wide])[-self.tail_len:])
-        return self._epilogue(y, plan, state, new_tails)
-
-    def _epilogue(self, y: jax.Array, plan, state: FusedWidebandState,
-                  new_tails):
-        n_if = plan[0]
-        s_ch = len(self.offsets)
-        r_n = self.r_n
+        y = self._matmul(fr, w_cols)
         # residual per-segment rotation (constant over the segment)
-        pos = state.pos % self.lo
-        pc = jax.lax.dynamic_slice_in_dim(self._pc, pos, 1, 0)[0]
-        ps = jax.lax.dynamic_slice_in_dim(self._ps, pos, 1, 0)[0]
-        y4 = y.reshape(-1, r_n, 2, s_ch)
-        vr, vi = y4[:, :, 0, :], y4[:, :, 1, :]          # (c, R, S)
-        i_t = (vr * pc - vi * ps).reshape(-1, s_ch)[:n_if]   # (n_if, S)
-        q_t = (vi * pc + vr * ps).reshape(-1, s_ch)[:n_if]
+        pos_l = pos % self.lo
+        pc = jax.lax.dynamic_slice_in_dim(pc_t, pos_l, 1, 0)[0]
+        ps = jax.lax.dynamic_slice_in_dim(ps_t, pos_l, 1, 0)[0]
+        y4 = y.reshape(-1, r_n, 2, s_l)
+        vr, vi = y4[:, :, 0, :], y4[:, :, 1, :]          # (c, R, s_l)
+        i_t = (vr * pc - vi * ps).reshape(-1, s_l)[:n_if]   # (n_if, s_l)
+        q_t = (vi * pc + vr * ps).reshape(-1, s_l)[:n_if]
         # discriminator in the matmul's own time-major layout; ONE f32
         # transpose of the demod result replaces the u8 path's quantize/
         # pack/relayout/stage chain
-        ip = jnp.concatenate([state.prev_i[None, :], i_t[:-1]], axis=0)
-        qp = jnp.concatenate([state.prev_q[None, :], q_t[:-1]], axis=0)
+        ip = jnp.concatenate([prev_i[None, :], i_t[:-1]], axis=0)
+        qp = jnp.concatenate([prev_q[None, :], q_t[:-1]], axis=0)
         num = i_t * (q_t - qp) - q_t * (i_t - ip)
         den = i_t * i_t + q_t * q_t
         zero = (i_t == 0.0) & (q_t == 0.0)
         demod_t = jnp.where(zero, 0.0,
                             num / jnp.where(den == 0.0, 1.0, den))
-        demod = demod_t.T                                 # (S, n_if)
+        return demod_t.T, i_t[n_if - 1], q_t[n_if - 1]
+
+    def __call__(self, i_wide: jax.Array, q_wide: jax.Array,
+                 state: FusedWidebandState):
+        """i_wide, q_wide: (N,) float32 at wide_fs, N % (D*rf_decim) == 0.
+
+        Returns (demod (S, N // (D*rf_decim)) float32, new state)."""
+        demod, last_i, last_q = self.core(
+            self._w, self._pc, self._ps, state.i_tail, state.q_tail,
+            state.prev_i, state.prev_q, state.pos, i_wide, q_wide)
+        tl = self.tail_len
         new = FusedWidebandState(
-            new_tails[0].astype(jnp.float32),
-            new_tails[1].astype(jnp.float32),
-            i_t[n_if - 1], q_t[n_if - 1],
-            (state.pos + n_if) % self.lo)
+            jnp.concatenate([state.i_tail, i_wide])[-tl:],
+            jnp.concatenate([state.q_tail, q_wide])[-tl:],
+            last_i, last_q,
+            (state.pos + demod.shape[-1]) % self.lo)
         return demod, new

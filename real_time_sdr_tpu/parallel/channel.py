@@ -159,10 +159,10 @@ class ChannelBank:
         """LIVE-ingest wideband serving: interleaved raw uint8 capture
         bytes in, station decodes out — the upload stays bytes (4x less
         tunnel traffic than f32 rails, the difference between 0.2x and
-        real time on the measured ~23-46 MB/s axon link). Fused
-        frontends consume the stream directly (call_u8_stream — the
-        deinterleave never happens anywhere); the two-stage Channelizer
-        path deinterleaves on device."""
+        real time on the measured ~23-46 MB/s axon link). Both frontends
+        deinterleave ON DEVICE via u8_to_rails (normalize + two stride-2
+        slices — see its docstring for the measured dead ends of every
+        other deinterleave form)."""
         from real_time_sdr_tpu.models.wideband_frontend import (
             FusedWidebandFrontend, u8_to_rails)
         if group is None:

@@ -172,52 +172,14 @@ class ShardedFusedWideband:
 
     def _frontend_local(self, w4_l, pc_l, ps_l, i_tail, q_tail,
                         prev_i_l, prev_q_l, pos, i_wide, q_wide):
-        """Per-shard body: the FusedWidebandFrontend.__call__ math with
-        s_ch = this shard's station count (see that docstring)."""
-        from real_time_sdr_tpu.ops.fir import barrier
+        """Per-shard body: FusedWidebandFrontend.core on this shard's
+        (2J, R, 2, S_local) weight block — the SAME implementation as the
+        unsharded path, so the two cannot drift."""
         wf = self.wf
-        n = i_wide.shape[-1]
-        plan = wf._plan(n)
-        n_if = plan[0]
         s_l = w4_l.shape[-1]
-        r_n = wf.r_n
-        bf16 = wf.compute_dtype.startswith("bf16")
-        dtype = jnp.bfloat16 if bf16 else jnp.float32
-        xi = jnp.concatenate([i_tail, i_wide]).astype(dtype)
-        xq = jnp.concatenate([q_tail, q_wide]).astype(dtype)
-        xi = barrier(xi, "chanfold")
-        xq = barrier(xq, "chanfold")
-        fr = jnp.concatenate([wf._frames(xi, plan),
-                              wf._frames(xq, plan)], axis=-1)
-        w_l = w4_l.reshape(2 * wf.j_w, r_n * 2 * s_l)
-        if wf.compute_dtype == "bf16":
-            y = jnp.einsum("cj,jr->cr", fr, w_l.astype(jnp.bfloat16),
-                           preferred_element_type=jnp.float32)
-        elif wf.compute_dtype == "bf16x2":
-            w_hi = w_l.astype(jnp.bfloat16)
-            w_lo = (w_l - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            y = (jnp.einsum("cj,jr->cr", fr, w_hi,
-                            preferred_element_type=jnp.float32)
-                 + jnp.einsum("cj,jr->cr", fr, w_lo,
-                              preferred_element_type=jnp.float32))
-        else:
-            y = jnp.einsum("cj,jr->cr", fr, w_l,
-                           precision=jax.lax.Precision.HIGHEST)
-        pos_l = pos % wf.lo
-        pc = jax.lax.dynamic_slice_in_dim(pc_l, pos_l, 1, 0)[0]
-        ps = jax.lax.dynamic_slice_in_dim(ps_l, pos_l, 1, 0)[0]
-        y4 = y.reshape(-1, r_n, 2, s_l)
-        vr, vi = y4[:, :, 0, :], y4[:, :, 1, :]
-        i_t = (vr * pc - vi * ps).reshape(-1, s_l)[:n_if]
-        q_t = (vi * pc + vr * ps).reshape(-1, s_l)[:n_if]
-        ip = jnp.concatenate([prev_i_l[None, :], i_t[:-1]], axis=0)
-        qp = jnp.concatenate([prev_q_l[None, :], q_t[:-1]], axis=0)
-        num = i_t * (q_t - qp) - q_t * (i_t - ip)
-        den = i_t * i_t + q_t * q_t
-        zero = (i_t == 0.0) & (q_t == 0.0)
-        demod_t = jnp.where(zero, 0.0,
-                            num / jnp.where(den == 0.0, 1.0, den))
-        return demod_t.T, i_t[n_if - 1], q_t[n_if - 1]
+        w_l = w4_l.reshape(2 * wf.j_w, wf.r_n * 2 * s_l)
+        return wf.core(w_l, pc_l, ps_l, i_tail, q_tail,
+                       prev_i_l, prev_q_l, pos, i_wide, q_wide)
 
     def _step(self, wstate, bstate, i_wide, q_wide):
         wf = self.wf
