@@ -407,8 +407,9 @@ def main(argv=None) -> int:
         # per call); a mid-stream compile would back up a live source
         n2_w = max(1, args.segment) * block_bytes
         if use_staged:
-            silent = jnp.full((rx.frontend.staged_len(n2_w),), 128,
-                              jnp.uint8)
+            silent = jnp.asarray(rx.frontend.stage_segment(
+                np.full((rx.frontend.rf_fir.tail_len,), 128, np.uint8),
+                np.full((n2_w,), 128, np.uint8), rows=True))
             _, wout = rx.jit_run_segment_staged(state, silent, n2_w)
         else:
             silent = jnp.full((n2_w,), 128, jnp.uint8)
@@ -581,7 +582,9 @@ def main(argv=None) -> int:
             seg = np.concatenate(
                 [seg, np.full(pad_blocks * block_bytes, 128, np.uint8)])
         if use_staged:
-            xp = rx.frontend.stage_segment(prev_tail, seg)
+            # pre-shaped int8 rows form: zero device-side prep (the flat
+            # u8 form pays a bitcast kernel + re-tiling copy on device)
+            xp = rx.frontend.stage_segment(prev_tail, seg, rows=True)
             prev_tail = seg[-prev_tail.shape[-1]:].copy()
             state, out = rx.jit_run_segment_staged(
                 state, jnp.asarray(xp), seg.shape[-1])  # async dispatch

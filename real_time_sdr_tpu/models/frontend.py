@@ -94,9 +94,13 @@ class Frontend:
         """Padded host-staging length for an n2-byte segment."""
         return self.rf_fir.staged_len(n2)  # AttributeError on the xla impl
 
-    def stage_segment(self, prev_tail_u8, seg_u8, out=None):
-        """HOST staging: [tail | segment | 0x80 pad] (numpy, batch dims ok)."""
-        return self.rf_fir.stage_segment(prev_tail_u8, seg_u8, out=out)
+    def stage_segment(self, prev_tail_u8, seg_u8, out=None,
+                      rows: bool = False):
+        """HOST staging: [tail | segment | 0x80 pad] (numpy, batch dims
+        ok); ``rows=True`` returns the pre-shaped int8 rows form (zero
+        device-side prep — see FusedFrontendFIR.stage_segment)."""
+        return self.rf_fir.stage_segment(prev_tail_u8, seg_u8, out=out,
+                                         rows=rows)
 
     def call_staged(self, xp_u8: jax.Array, n2: int, state: FrontendState):
         """Staged twin of ``__call__``: xp_u8 (..., staged_len(n2)) carries

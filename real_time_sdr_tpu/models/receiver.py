@@ -177,9 +177,12 @@ class Receiver:
         ``run_segment`` on the embedded segment, minus the device-side
         concat+pad staging passes (the last named flagship overhead —
         BENCH_NOTES mode-0/2 attribution). ``n2`` is static (the segment
-        byte length). The returned state is fully consistent, so staged
-        and unstaged calls interleave freely."""
-        self._check_batch(xp_u8, 1)
+        byte length). The operand may also be the pre-shaped
+        (rows_total, stride) int8 rows form (``stage_segment(rows=True)``
+        — zero device-side prep at all). The returned state is fully
+        consistent, so staged and unstaged calls interleave freely."""
+        self._check_batch(xp_u8,
+                          2 if xp_u8.dtype == jnp.int8 else 1)
         demod, f_state = self.frontend.call_staged(xp_u8, n2,
                                                    state.frontend)
         return self._post_frontend(demod, f_state, state)

@@ -255,11 +255,21 @@ class FusedFrontendFIR:
         segment: [tail (2K-2) | segment (n2) | 0x80 pad]."""
         return self._plan(n2)[4] * self.stride
 
-    def stage_segment(self, prev_tail_u8, seg_u8, out=None):
+    def stage_segment(self, prev_tail_u8, seg_u8, out=None,
+                      rows: bool = False):
         """HOST-side staging (numpy): build the padded operand so the
         device-side concat+pad passes (~290 us/run at mode-0 32x12, the
         last named flagship overhead — BENCH_NOTES) never run. Supports
-        leading batch dims; pass ``out`` to reuse a preallocated buffer."""
+        leading batch dims; pass ``out`` to reuse a preallocated buffer.
+
+        ``rows=True`` additionally returns the operand as the
+        (..., rows_total, stride) INT8 view the kernel dispatch consumes
+        — a free host-side reshape+view that removes the LAST device-side
+        prep too: uploading the flat u8 form costs a u8->i8
+        bitcast_convert kernel (~80 us/run at mode-0 32x12) plus a
+        re-tiling copy of the reshape to rows (~85 us) because the 1-D
+        and 2-D tilings differ; the pre-shaped upload lands directly in
+        the layout the Mosaic call wants."""
         prev_tail_u8 = np.asarray(prev_tail_u8, dtype=np.uint8)
         seg_u8 = np.asarray(seg_u8, dtype=np.uint8)
         n2 = seg_u8.shape[-1]
@@ -271,15 +281,34 @@ class FusedFrontendFIR:
         out[..., :tl] = prev_tail_u8
         out[..., tl:tl + n2] = seg_u8
         out[..., tl + n2:] = 128
+        if rows:
+            rows_total = self._plan(n2)[4]
+            return (out.view(np.int8)
+                    .reshape(shape[:-1] + (rows_total, self.stride)))
         return out
 
     def call_staged(self, xp_u8: jax.Array, n2: int,
                     prev_i: jax.Array, prev_q: jax.Array):
-        """xp_u8: (..., staged_len(n2)) host-staged bytes (stage_segment).
+        """xp_u8: host-staged operand (stage_segment) — either the flat
+        (..., staged_len(n2)) uint8 form or the pre-shaped
+        (..., rows_total, stride) int8 rows form (``rows=True``).
 
         Same results as ``__call__`` bit-for-bit (the new tail is sliced
-        out of the staged bytes), with zero device-side staging copies.
-        """
+        out of the staged bytes), with zero device-side staging copies
+        (and, for the rows form, zero device-side prep at all)."""
+        rows_total = self._plan(n2)[4]
+        if xp_u8.dtype == jnp.int8:
+            assert xp_u8.shape[-2:] == (rows_total, self.stride), \
+                (xp_u8.shape, rows_total, self.stride)
+            rows = barrier(xp_u8, "frontend")
+            flat = rows.reshape(rows.shape[:-2] + (-1,))
+            # tail as uint8 (the state contract): tiny slice, the
+            # reshape fuses into it
+            new_tail = jax.lax.bitcast_convert_type(
+                flat[..., n2:n2 + self.tail_len], jnp.uint8)
+            demod, new_prev = self._dispatch_rows(rows, flat, n2,
+                                                  prev_i, prev_q)
+            return demod, new_tail, new_prev[..., 0], new_prev[..., 1]
         new_tail = xp_u8[..., n2:n2 + self.tail_len]
         xf = jax.lax.bitcast_convert_type(barrier(xp_u8, "frontend"),
                                           jnp.int8)
@@ -315,8 +344,15 @@ class FusedFrontendFIR:
     def _dispatch(self, xf: jax.Array, n2: int,
                   prev_i: jax.Array, prev_q: jax.Array):
         """Padded int8 stream (..., rows_total*stride) -> (demod, new_prev)."""
-        n_out, c_frames, tf, nbf, rows_total = self._plan(n2)
+        rows_total = self._plan(n2)[4]
         rows = xf.reshape(xf.shape[:-1] + (rows_total, self.stride))
+        return self._dispatch_rows(rows, xf, n2, prev_i, prev_q)
+
+    def _dispatch_rows(self, rows: jax.Array, xf: jax.Array, n2: int,
+                       prev_i: jax.Array, prev_q: jax.Array):
+        """Kernel dispatch on the (..., rows_total, stride) int8 operand;
+        ``xf`` is its flat view (boundary-sample byte windows)."""
+        n_out, c_frames, tf, nbf, rows_total = self._plan(n2)
 
         # only each TILE's first frame needs an external predecessor (the
         # previous tile's last output); in-tile predecessors are a sublane

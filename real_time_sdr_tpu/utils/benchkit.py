@@ -119,6 +119,7 @@ def stage_cells(rx, per_ch_host, n_g: int, g: int, n_chunks: int,
             seg = rows[:, k * chunk_len:(k + 1) * chunk_len]
             kp = (k - 1) % n_chunks  # steady-state cyclic replay tail
             tail = rows[:, (kp + 1) * chunk_len - tl:(kp + 1) * chunk_len]
-            col.append(jax.device_put(rx.frontend.stage_segment(tail, seg)))
+            col.append(jax.device_put(
+                rx.frontend.stage_segment(tail, seg, rows=True)))
         cells.append(col)
     return cells

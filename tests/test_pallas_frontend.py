@@ -127,10 +127,12 @@ def test_frontend_impl_interchange():
 
 
 @pytest.mark.parametrize("mode", [0, 2])
-def test_staged_segment_bit_exact(mode):
+@pytest.mark.parametrize("rows", [False, True])
+def test_staged_segment_bit_exact(mode, rows):
     """run_segment_staged over a HOST-staged operand must be BIT-identical
     to run_segment on the raw segment, across chained segments and when
-    staged/unstaged calls interleave (the state contract is shared)."""
+    staged/unstaged calls interleave (the state contract is shared) — in
+    both operand forms (flat uint8 and pre-shaped int8 rows)."""
     from real_time_sdr_tpu.models.receiver import Receiver
 
     rx = Receiver(mode, stereo=True, rds=True, pll_tier=3,
@@ -148,8 +150,11 @@ def test_staged_segment_bit_exact(mode):
             # interleave: middle segment goes UNstaged through path B too
             s_b, out_b = rx.run_segment(s_b, jnp.asarray(seg))
         else:
-            xp = rx.frontend.stage_segment(tail, seg)
-            assert xp.shape[-1] == rx.frontend.staged_len(n2)
+            xp = rx.frontend.stage_segment(tail, seg, rows=rows)
+            if rows:
+                assert xp.dtype == np.int8 and xp.ndim == 2
+            else:
+                assert xp.shape[-1] == rx.frontend.staged_len(n2)
             s_b, out_b = rx.run_segment_staged(s_b, jnp.asarray(xp), n2)
         tail = seg[-rx.frontend.rf_fir.tail_len:]
         for la, lb in zip(jax.tree_util.tree_leaves(out_a),
