@@ -86,10 +86,13 @@ def _run_wideband(args, env) -> None:
     span = wide_fs // 2 - 300_000
     loads = [int(round((-span + 2 * span * k / max(n_st - 3, 1)) / 1e5)
                  * 100_000) for k in range(n_st - 2)]
-    offs = [-1_700_000, 800_000] + [
-        o if o not in (-1_700_000, 800_000) else o + 200_000
-        for o in loads]
+    offs = [-1_700_000, 800_000]
+    for o in loads:
+        while o in offs:  # keep every load station DISTINCT (a duplicate
+            o -= 100_000  # would under-load by one channel silently)
+        offs.append(o)
     assert max(abs(o) for o in offs) + 150_000 <= wide_fs // 2, offs
+    assert len(set(offs)) == len(offs), offs
     scene = [dict(offset_hz=offs[0], ps_name="LIVE-WB0", pi=0x7A7A, pty=1),
              dict(offset_hz=offs[1], ps_name="LIVE-WB1", pi=0x7B7B, pty=2)]
     # cover the whole run: cycling a short fixture wraps the RDS bit

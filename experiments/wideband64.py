@@ -92,10 +92,9 @@ def main() -> None:
         ch = Channelizer(cfg, wide_fs, offs, taps_factor=tf)
         assert ch.tone_period, "expected the periodic-exact tone mode"
     else:
-        ch = (FusedWidebandFrontend(cfg, wide_fs, offs, taps_factor=tf)
-              if os.environ.get("RTSDR_WB_FUSED", "1") != "0"
-              and FusedWidebandFrontend.eligible(cfg, wide_fs, offs)
-              else Channelizer(cfg, wide_fs, offs, taps_factor=tf))
+        from real_time_sdr_tpu.models.wideband_frontend import (
+            make_wideband_frontend)
+        ch = make_wideband_frontend(cfg, wide_fs, offs, taps_factor=tf)
     fused = isinstance(ch, FusedWidebandFrontend)
     if args.seg is None:
         args.seg = 8 if fused else 24

@@ -55,20 +55,23 @@ from real_time_sdr_tpu.ops.fir import barrier
 
 
 def make_wideband_frontend(cfg: ReceiverConfig, wide_fs: int,
-                           offsets_hz: list[int]):
+                           offsets_hz: list[int], taps_factor: int = 2):
     """Serving-path factory: the fused one-matmul frontend when the
     station grid is eligible (every real raster is), else the two-stage
     Channelizer + uint8 receiver path. RTSDR_WB_FUSED=0 forces the
     two-stage path (e.g. to reproduce the uint8-interface bitstreams).
+    This is the ONE policy point for the fused/u8 choice — every serving
+    entry (cli --stations, bench --wideband, wideband64) goes through it.
 
     Returns the frontend object; feed it to
     parallel.channel.ChannelBank.run_wideband_jit, which dispatches on
     its type."""
     fused = os.environ.get("RTSDR_WB_FUSED", "1") != "0"
     if fused and FusedWidebandFrontend.eligible(cfg, wide_fs, offsets_hz):
-        return FusedWidebandFrontend(cfg, wide_fs, offsets_hz)
+        return FusedWidebandFrontend(cfg, wide_fs, offsets_hz,
+                                     taps_factor=taps_factor)
     from real_time_sdr_tpu.models.channelizer import Channelizer
-    return Channelizer(cfg, wide_fs, offsets_hz)
+    return Channelizer(cfg, wide_fs, offsets_hz, taps_factor=taps_factor)
 
 
 class FusedWidebandState(NamedTuple):
@@ -273,18 +276,32 @@ class FusedWidebandFrontend:
                                         self.r_n * 2 * s_ch)}
 
     def _matmul(self, fr: jax.Array, w) -> jax.Array:
-        w = jnp.asarray(w)  # numpy constant or traced shard_map operand
+        # w is a numpy constant (unsharded path) or a traced shard_map
+        # operand. Numpy weights are precast on HOST for the bf16 modes:
+        # baking the f32 matrix and casting in-graph would double the
+        # jit-constant size (and its upload through the tunnel) for no
+        # reason — ~114 MB f32 vs ~57 MB bf16 at 64 stations
+        is_np = isinstance(w, np.ndarray)
         if self.compute_dtype == "bf16":
-            return jnp.einsum("cj,jr->cr", fr, w.astype(jnp.bfloat16),
+            w_b = (jnp.asarray(w, dtype=jnp.bfloat16) if is_np
+                   else jnp.asarray(w).astype(jnp.bfloat16))
+            return jnp.einsum("cj,jr->cr", fr, w_b,
                               preferred_element_type=jnp.float32)
         if self.compute_dtype == "bf16x2":
-            w_hi = w.astype(jnp.bfloat16)
-            w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            if is_np:
+                w_hi = w.astype(jnp.bfloat16)
+                w_lo = jnp.asarray(
+                    (w - np.asarray(w_hi, np.float32)).astype(jnp.bfloat16))
+                w_hi = jnp.asarray(w_hi)
+            else:
+                w_t = jnp.asarray(w)
+                w_hi = w_t.astype(jnp.bfloat16)
+                w_lo = (w_t - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
             return (jnp.einsum("cj,jr->cr", fr, w_hi,
                                preferred_element_type=jnp.float32)
                     + jnp.einsum("cj,jr->cr", fr, w_lo,
                                  preferred_element_type=jnp.float32))
-        return jnp.einsum("cj,jr->cr", fr, w,
+        return jnp.einsum("cj,jr->cr", fr, jnp.asarray(w),
                           precision=jax.lax.Precision.HIGHEST)
 
     def core(self, w_cols, pc_t, ps_t, i_tail, q_tail, prev_i, prev_q,

@@ -16,6 +16,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from real_time_sdr_tpu.models.receiver import Receiver
 
 
+def _default_wb_group() -> int:
+    """Measured serving default for the fused wideband bank: 16-wide
+    lax.map sub-batches on TPU (+6% at 64 stations, BENCH_NOTES
+    2026-08-20), no grouping elsewhere. RTSDR_WB_GROUP overrides; ONE
+    resolution point so the rails and u8-ingest entries can't diverge."""
+    import os
+    return (int(os.environ.get("RTSDR_WB_GROUP", "16"))
+            if jax.default_backend() in ("tpu", "axon") else 0)
+
+
 class ChannelBank:
     """A bank of ``n_channels`` independent receivers, optionally sharded.
 
@@ -144,9 +154,7 @@ class ChannelBank:
         sub-batches on TPU (RTSDR_WB_GROUP overrides; 0 disables), no
         grouping elsewhere."""
         if group is None:
-            import os
-            group = (int(os.environ.get("RTSDR_WB_GROUP", "16"))
-                     if jax.default_backend() in ("tpu", "axon") else 0)
+            group = _default_wb_group()
         fn = self._chan_jit_cache.get((id(wf), group))
         if fn is None:
             fn = self._chan_jit_cache[(id(wf), group)] = jax.jit(
@@ -166,9 +174,7 @@ class ChannelBank:
         from real_time_sdr_tpu.models.wideband_frontend import (
             FusedWidebandFrontend, u8_to_rails)
         if group is None:
-            import os
-            group = (int(os.environ.get("RTSDR_WB_GROUP", "16"))
-                     if jax.default_backend() in ("tpu", "axon") else 0)
+            group = _default_wb_group()
         key = (id(fe), group, "u8")
         fn = self._chan_jit_cache.get(key)
         if fn is None:
