@@ -22,7 +22,7 @@ jax.config.update("jax_platforms", "cpu")  # remove on TPU
 import jax.numpy as jnp
 import numpy as np
 
-from real_time_sdr_tpu.models.channelizer import Channelizer
+from real_time_sdr_tpu.models.wideband_frontend import make_wideband_frontend
 from real_time_sdr_tpu.models.receiver import Receiver
 from real_time_sdr_tpu.models.rds_framing import RdsFramer
 from real_time_sdr_tpu.utils import synth
@@ -44,13 +44,18 @@ def main() -> None:
     i_wide, q_wide, truths = synth.wideband_iq(cfg, wide_fs, stations,
                                                n_blocks)
 
-    ch = Channelizer(cfg, wide_fs, [s["offset_hz"] for s in stations])
+    # the serving factory picks the fused one-matmul frontend on any
+    # real station raster (RTSDR_WB_FUSED=0 restores the two-stage
+    # Channelizer + uint8 receiver path)
+    from real_time_sdr_tpu.parallel.channel import ChannelBank
+    ch = make_wideband_frontend(cfg, wide_fs,
+                                [s["offset_hz"] for s in stations])
+    bank = ChannelBank(rx, n_channels=len(stations))
     framers = [RdsFramer() for _ in stations]
 
-    @jax.jit
     def step(cstate, bstate, i, q):
-        u8, cstate = ch.call_u8(i, q, cstate)
-        bstate, out = jax.vmap(rx.step)(bstate, u8)
+        bstate, out, cstate = bank.run_wideband_jit(bstate, ch, i, q,
+                                                    cstate)
         return cstate, bstate, out
 
     cstate = ch.init_state()
