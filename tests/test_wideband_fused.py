@@ -335,6 +335,50 @@ def test_fused_adjacent_channel_interferer():
 
 
 @pytest.mark.slow
+def test_fused_decode_survives_tuner_artifacts():
+    """Datasheet-typical RTL-SDR tuner artifacts (IQ imbalance, DC
+    offset, phase noise, AWGN) applied to the WIDEBAND capture: the
+    fused serving path must still decode PS on both stations — extends
+    the station-path tuner gates (tests/test_noise_ber.py) to the
+    wideband frontend."""
+    rx = Receiver(0, stereo=True, rds=True, pll_tier=1)
+    cfg = rx.cfg
+    wide_fs = 4 * cfg.rf_fs
+    stations = [
+        dict(offset_hz=-1_700_000, ps_name="TUNER-A ", pi=0x8181, pty=3,
+             tone_left=440.0, tone_right=440.0),
+        dict(offset_hz=2_300_000, ps_name="TUNER-B ", pi=0x8282, pty=6,
+             tone_left=900.0, tone_right=900.0),
+    ]
+    nb = 26
+    iw, qw, truths = synth.wideband_iq(cfg, wide_fs, stations, nb)
+    x = np.empty(2 * iw.shape[0], np.float32)
+    x[0::2], x[1::2] = iw, qw
+    u8 = np.clip(np.round(128.0 + 127.0 * x), 0, 255).astype(np.uint8)
+    u8 = synth.impair_iq(
+        u8, wide_fs, iq_gain_db=0.5, iq_phase_deg=2.0,
+        dc_offset=0.02 + 0.015j, phase_noise_linewidth_hz=50.0,
+        noise_std=0.02, seed=7)
+    xi = (u8.astype(np.float32) - 128.0) / 128.0
+
+    wf = _mk(cfg, wide_fs, [s["offset_hz"] for s in stations])
+    bank = ChannelBank(rx, n_channels=2)
+    _, out, _ = bank.run_channelized_fused(
+        bank.init_state(), wf, jnp.asarray(xi[0::2]), jnp.asarray(xi[1::2]),
+        wf.init_state())
+    for s_idx, truth in enumerate(truths):
+        framer = RdsFramer()
+        bits = np.asarray(out.rds_bits)[s_idx]
+        nbs = np.asarray(out.rds_nbits)[s_idx]
+        for b in range(bits.shape[0]):
+            if nbs[b] > 0:
+                framer.feed(bits[b][:nbs[b]])
+        assert framer.events.ps_name == truth["ps_name"], (
+            f"station {s_idx}: {framer.events.ps_name!r}")
+        assert framer.events.pi == truth["pi"]
+
+
+@pytest.mark.slow
 def test_fused_channelize_and_decode_two_stations():
     """End-to-end: wideband capture -> fused frontend -> ChannelBank
     audio+RDS decode; stereo tones and PS names must come out, matching
