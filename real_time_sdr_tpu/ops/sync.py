@@ -120,6 +120,75 @@ class FeedforwardSync:
         # uses the total.
         self.hilbert_delay = m
         self.group_delay = m + (smooth_taps - 1) // 2
+        # rolled-table mechanism: "rot" (default) rotates STATIC tiled
+        # tables by one per-channel scalar phase — under vmap the
+        # dynamic_slice roll becomes a gather that XLA lowers to a WHILE
+        # LOOP per table (~7 loops x ~25 us/run at mode-0 32x12, the
+        # largest remaining non-FIR cost); the ramp is linear in integer
+        # phase, so tbl[(start+j)%per] == rot(theta_start) applied to
+        # tbl[j] exactly (same identity as derive2). "slice" restores the
+        # dynamic_slice roll (bit-identical table values).
+        self._roll_mode = _os.environ.get("RTSDR_SYNC_ROLL", "rot")
+        self._tiled_cache: dict[int, tuple] = {}
+
+    def _tiled_tables(self, n: int):
+        """Static length-n cos/sin/angle tables of the nominal ramp from
+        index 0 (host-precomputed constants, one set per segment length)."""
+        hit = self._tiled_cache.get(n)
+        if hit is None:
+            p = self.p
+            # pure numpy (this may run inside a jit trace — omnistaging
+            # would stage jnp ops even on concrete inputs): replicate
+            # trig_angle's exact integer-phase arithmetic host-side
+            fr, fsr = p._ratio
+            k = np.arange(p.period, dtype=np.int64)
+            frac = (fr * k) % (2 * fsr)
+            ang = ((2.0 * np.pi / fsr)
+                   * frac.astype(np.float32)).astype(np.float64)
+            reps = -(-n // p.period)
+            a = np.tile(ang, reps)[:n]
+            # cache NUMPY (this can run inside a trace; caching the jnp
+            # constants would leak tracers across traces)
+            hit = (np.cos(a).astype(np.float32),
+                   np.sin(a).astype(np.float32),
+                   a.astype(np.float32))
+            self._tiled_cache[n] = hit
+        return tuple(jnp.asarray(t) for t in hit)
+
+    def _ramp_cos_sin(self, start: jax.Array, n: int):
+        """cos/sin of the nominal ramp at positions start..start+n-1.
+
+        "rot" mode: ONE scalar rotation of the static tables —
+        cos(th_s + th_j) expanded by the angle-sum identity, exact in
+        integer phase, ~1e-7 f32 product rounding vs the exact per-phase
+        values (the sanctioned derive2 error class). "slice" mode: the
+        bit-exact dynamic_slice roll (gather/while under vmap)."""
+        p = self.p
+        if self._roll_mode == "slice":
+            angle_tbl = p.trig_angle(jnp.arange(p.period, dtype=jnp.int32))
+            return (self._rolled_table(jnp.cos(angle_tbl), start, n),
+                    self._rolled_table(jnp.sin(angle_tbl), start, n))
+        ct, st_, _ = self._tiled_tables(n)
+        th = p.trig_angle(start % p.period)
+        cs, sn = jnp.cos(th)[..., None], jnp.sin(th)[..., None]
+        return cs * ct - sn * st_, sn * ct + cs * st_
+
+    def _ramp_angle(self, start: jax.Array, n: int):
+        """Canonical wrapped ramp ANGLE at start..start+n-1 (the RDS
+        general path's phase accumulator input). trig_angle lives in
+        [0, 4*pi) — the nco_scale=0.5 half-angle consumer's parity range
+        — so "rot" adds the scalar phase and subtracts 4*pi on overflow:
+        both addends are canonical, so the sum reproduces the canonical
+        branch exactly (no 4*pi-sized jumps vs the exact table, only
+        ~1e-7 addition rounding — far from a parity flip)."""
+        p = self.p
+        if self._roll_mode == "slice":
+            angle_tbl = p.trig_angle(jnp.arange(p.period, dtype=jnp.int32))
+            return self._rolled_table(angle_tbl, start, n)
+        _, _, at = self._tiled_tables(n)
+        th = p.trig_angle(start % p.period)[..., None]
+        s = th + at
+        return s - jnp.where(s >= _FOUR_PI, _FOUR_PI, 0.0)
 
     def init(self, batch: tuple = ()) -> FFSyncCarry:
         t = lambda n: jnp.zeros(batch + (n,), jnp.float32)
@@ -160,11 +229,7 @@ class FeedforwardSync:
         # of the most expensive elementwise fusion in the receiver graph.
         (c_re, c_im), in_tail = self._bank(x, carry.in_tail)
         d_total = self.group_delay
-        angle_tbl = p.trig_angle(jnp.arange(p.period, dtype=jnp.int32))
-        ce = self._rolled_table(jnp.cos(angle_tbl),
-                                carry.trig + 1 - self.hilbert_delay, n)
-        se = self._rolled_table(jnp.sin(angle_tbl),
-                                carry.trig + 1 - self.hilbert_delay, n)
+        ce, se = self._ramp_cos_sin(carry.trig + 1 - self.hilbert_delay, n)
         zr = c_re * ce + c_im * se
         zi = c_im * ce - c_re * se
 
@@ -220,10 +285,19 @@ class FeedforwardSync:
                 c2 = cos2e * cph - sin2e * sph
                 s2 = sin2e * cph + cos2e * sph
             else:
-                c2 = self._rolled_table(jnp.cos(2.0 * angle_tbl),
-                                        carry.trig + 1, n)
-                s2 = self._rolled_table(jnp.sin(2.0 * angle_tbl),
-                                        carry.trig + 1, n)
+                # exact-table fallback (RTSDR_SYNC_TBL2=1): the DOUBLED
+                # angle's canonical tables, rolled by the same mechanism
+                if self._roll_mode == "slice":
+                    angle_tbl = p.trig_angle(
+                        jnp.arange(p.period, dtype=jnp.int32))
+                    c2 = self._rolled_table(jnp.cos(2.0 * angle_tbl),
+                                            carry.trig + 1, n)
+                    s2 = self._rolled_table(jnp.sin(2.0 * angle_tbl),
+                                            carry.trig + 1, n)
+                else:
+                    c1, s1 = self._ramp_cos_sin(carry.trig + 1, n)
+                    c2 = c1 * c1 - s1 * s1
+                    s2 = 2.0 * c1 * s1
             carrier = c2 * cb - s2 * sb
             resid_last = carry.resid + jnp.sum(d, axis=-1)
         else:
@@ -234,7 +308,7 @@ class FeedforwardSync:
             # jnp.cumsum (whose reduce_window lowering was the most
             # expensive kernel in the whole receiver graph; ops/prefix.py)
             resid_u = carry.resid[..., None] + prefix_sum(d)
-            ramp_out = self._rolled_table(angle_tbl, carry.trig + 1, n)
+            ramp_out = self._ramp_angle(carry.trig + 1, n)
             phase = ramp_out + resid_u + d_total * mu
             carrier = jnp.cos(p.nco_scale * phase + p.phase_adjust)
             resid_last = resid_u[..., -1]
