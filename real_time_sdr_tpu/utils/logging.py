@@ -77,11 +77,26 @@ def _f32_flops() -> float:
     return V5E_BF16_FLOPS / _f32_passes()
 
 
+def _merge_shared(costs: list[dict], n: int, tail_len: int) -> dict:
+    """Combine cost dicts of FIRs that ride ONE shared frame matrix
+    (ops.fir.make_bank / shared_frames_apply): the stage input is read
+    once, not once per member — counting it k times made the modeled
+    floors ~20-50% too generous (mode 0 measured 150% of its 'floor')."""
+    el = 2 if all("bf16" in c["kind"] for c in costs) else 4
+    byts = sum(c["bytes"] for c in costs) \
+        - (len(costs) - 1) * el * (n + tail_len)
+    return {"kind": costs[0]["kind"] + f"_x{len(costs)}shared",
+            "flops": sum(c["flops"] for c in costs), "bytes": byts,
+            "dims": costs[0]["dims"]}
+
+
 def stage_costs(rx) -> list[tuple[str, dict]]:
     """Walk a Receiver's FIR stages and collect per-block cost dicts.
 
     Single channel, one block; segment mode and channel banks scale these
-    linearly (same per-sample work)."""
+    linearly (same per-sample work). Stages that share one frame matrix
+    (the IF-bank BPF triple, each sync's complex FIR pair) are merged so
+    their common input is charged once."""
     cfg = rx.cfg
     out = [("frontend.rf(u8)", rx.frontend.rf_fir.cost(2 * cfg.block_size_iq))]
     n_if = cfg.if_block
@@ -93,20 +108,35 @@ def stage_costs(rx) -> list[tuple[str, dict]]:
                 out.append((f"{prefix}.{name}", f.cost(n)))
 
     add("audio", rx.audio, ("audio_fir",), n_if)          # mono path
-    add("audio", rx.audio, ("pilot_fir", "band_fir", "delay_fir",
-                            "mono_fir", "stereo_fir"), n_if)
+    if getattr(rx, "_if_bank", None) is not None:
+        # stereo+RDS: pilot + stereo band + RDS band share ONE frame
+        # matrix (models/receiver.py _if_bank)
+        trio = [rx.audio.pilot_fir, rx.audio.band_fir,
+                rx.rds_path.band_fir]
+        out.append(("if.bank(3 shared BPFs)", _merge_shared(
+            [f.cost(n_if) for f in trio], n_if, trio[0].tail_len)))
+        add("audio", rx.audio, ("delay_fir", "mono_fir", "stereo_fir"),
+            n_if)
+    else:
+        add("audio", rx.audio, ("pilot_fir", "band_fir", "delay_fir",
+                                "mono_fir", "stereo_fir"), n_if)
+
     def add_sync(prefix, sync, n):
         # the whole filter front half is ONE combined complex FIR (Hilbert
         # pair convolved with the ramp-modulated smoother, ops/sync.py);
         # its Re/Im taps ride one shared-frame matmul
-        add(prefix, sync, ("cr_fir", "ci_fir"), n)
+        out.append((f"{prefix}.cfir(2 shared)", _merge_shared(
+            [sync.cr_fir.cost(n), sync.ci_fir.cost(n)], n,
+            sync.cr_fir.tail_len)))
 
     sync = getattr(rx.audio, "_sync", None)
     if sync is not None:
         add_sync("audio.sync", sync, n_if)
     if rx.rds_path is not None:
         r = rx.rds_path
-        add("rds", r, ("band_fir", "pilot_fir", "delay_fir"), n_if)
+        if getattr(rx, "_if_bank", None) is None:
+            add("rds", r, ("band_fir",), n_if)
+        add("rds", r, ("pilot_fir", "delay_fir"), n_if)
         out.append(("rds.baseband_fir", r.baseband_fir.cost(n_if)))
         out.append(("rds.rrc_fir", r.rrc_fir.cost(cfg.rds_block)))
         if r._sync is not None:
