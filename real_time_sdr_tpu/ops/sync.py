@@ -131,12 +131,13 @@ class FeedforwardSync:
         self._roll_mode = _os.environ.get("RTSDR_SYNC_ROLL", "rot")
         self._tiled_cache: dict[int, tuple] = {}
 
-    def _tiled_tables(self, n: int):
+    def _tiled_tables(self, p, n: int):
         """Static length-n cos/sin/angle tables of the nominal ramp from
-        index 0 (host-precomputed constants, one set per segment length)."""
-        hit = self._tiled_cache.get(n)
+        index 0 (host-precomputed constants, one set per (params, segment
+        length) — the params override of __call__ is honored)."""
+        key = (p._ratio, n)
+        hit = self._tiled_cache.get(key)
         if hit is None:
-            p = self.p
             # pure numpy (this may run inside a jit trace — omnistaging
             # would stage jnp ops even on concrete inputs): replicate
             # trig_angle's exact integer-phase arithmetic host-side
@@ -152,28 +153,28 @@ class FeedforwardSync:
             hit = (np.cos(a).astype(np.float32),
                    np.sin(a).astype(np.float32),
                    a.astype(np.float32))
-            self._tiled_cache[n] = hit
+            self._tiled_cache[key] = hit
         return tuple(jnp.asarray(t) for t in hit)
 
-    def _ramp_cos_sin(self, start: jax.Array, n: int):
+    def _ramp_cos_sin(self, p, start: jax.Array, n: int):
         """cos/sin of the nominal ramp at positions start..start+n-1.
 
         "rot" mode: ONE scalar rotation of the static tables —
         cos(th_s + th_j) expanded by the angle-sum identity, exact in
-        integer phase, ~1e-7 f32 product rounding vs the exact per-phase
-        values (the sanctioned derive2 error class). "slice" mode: the
-        bit-exact dynamic_slice roll (gather/while under vmap)."""
-        p = self.p
+        integer phase, ~1e-6 max f32 rounding vs the exact per-phase
+        values (measured at the stereo period; the derive2 error class).
+        "slice" mode: the bit-exact dynamic_slice roll (gather/while
+        under vmap)."""
         if self._roll_mode == "slice":
             angle_tbl = p.trig_angle(jnp.arange(p.period, dtype=jnp.int32))
             return (self._rolled_table(jnp.cos(angle_tbl), start, n),
                     self._rolled_table(jnp.sin(angle_tbl), start, n))
-        ct, st_, _ = self._tiled_tables(n)
+        ct, st_, _ = self._tiled_tables(p, n)
         th = p.trig_angle(start % p.period)
         cs, sn = jnp.cos(th)[..., None], jnp.sin(th)[..., None]
         return cs * ct - sn * st_, sn * ct + cs * st_
 
-    def _ramp_angle(self, start: jax.Array, n: int):
+    def _ramp_angle(self, p, start: jax.Array, n: int):
         """Canonical wrapped ramp ANGLE at start..start+n-1 (the RDS
         general path's phase accumulator input). trig_angle lives in
         [0, 4*pi) — the nco_scale=0.5 half-angle consumer's parity range
@@ -185,7 +186,7 @@ class FeedforwardSync:
         if self._roll_mode == "slice":
             angle_tbl = p.trig_angle(jnp.arange(p.period, dtype=jnp.int32))
             return self._rolled_table(angle_tbl, start, n)
-        _, _, at = self._tiled_tables(n)
+        _, _, at = self._tiled_tables(p, n)
         th = p.trig_angle(start % p.period)[..., None]
         s = th + at
         return s - jnp.where(s >= _FOUR_PI, _FOUR_PI, 0.0)
@@ -229,7 +230,8 @@ class FeedforwardSync:
         # of the most expensive elementwise fusion in the receiver graph.
         (c_re, c_im), in_tail = self._bank(x, carry.in_tail)
         d_total = self.group_delay
-        ce, se = self._ramp_cos_sin(carry.trig + 1 - self.hilbert_delay, n)
+        ce, se = self._ramp_cos_sin(p, carry.trig + 1 - self.hilbert_delay,
+                                    n)
         zr = c_re * ce + c_im * se
         zi = c_im * ce - c_re * se
 
@@ -265,7 +267,12 @@ class FeedforwardSync:
             cm, sm_ = jnp.cos(two_mu), jnp.sin(two_mu)   # per-block scalars
             cb = cos2r * cm - sin2r * sm_                # cos 2(resid+Dmu)
             sb = sin2r * cm + cos2r * sm_
-            if self.derive2:
+            if self.derive2 or self._roll_mode != "slice":
+                # rot mode: the "exact c2/s2 tables" are themselves
+                # rotation-derived, so the derive2 algebra (which reuses
+                # the already-loaded ce/se) strictly dominates — the
+                # historic mode-0 derive2=False choice only applies to
+                # RTSDR_SYNC_ROLL=slice
                 # derive cos/sin(2*ramp) from the ALREADY-LOADED (ce, se):
                 # the ramp is linear mod 2*pi, so the table offset between
                 # the (trig+1) and (trig+1-hilbert_delay) phases is the
@@ -287,17 +294,12 @@ class FeedforwardSync:
             else:
                 # exact-table fallback (RTSDR_SYNC_TBL2=1): the DOUBLED
                 # angle's canonical tables, rolled by the same mechanism
-                if self._roll_mode == "slice":
-                    angle_tbl = p.trig_angle(
-                        jnp.arange(p.period, dtype=jnp.int32))
-                    c2 = self._rolled_table(jnp.cos(2.0 * angle_tbl),
-                                            carry.trig + 1, n)
-                    s2 = self._rolled_table(jnp.sin(2.0 * angle_tbl),
-                                            carry.trig + 1, n)
-                else:
-                    c1, s1 = self._ramp_cos_sin(carry.trig + 1, n)
-                    c2 = c1 * c1 - s1 * s1
-                    s2 = 2.0 * c1 * s1
+                angle_tbl = p.trig_angle(
+                    jnp.arange(p.period, dtype=jnp.int32))
+                c2 = self._rolled_table(jnp.cos(2.0 * angle_tbl),
+                                        carry.trig + 1, n)
+                s2 = self._rolled_table(jnp.sin(2.0 * angle_tbl),
+                                        carry.trig + 1, n)
             carrier = c2 * cb - s2 * sb
             resid_last = carry.resid + jnp.sum(d, axis=-1)
         else:
@@ -308,7 +310,7 @@ class FeedforwardSync:
             # jnp.cumsum (whose reduce_window lowering was the most
             # expensive kernel in the whole receiver graph; ops/prefix.py)
             resid_u = carry.resid[..., None] + prefix_sum(d)
-            ramp_out = self._ramp_angle(carry.trig + 1, n)
+            ramp_out = self._ramp_angle(p, carry.trig + 1, n)
             phase = ramp_out + resid_u + d_total * mu
             carrier = jnp.cos(p.nco_scale * phase + p.phase_adjust)
             resid_last = resid_u[..., -1]

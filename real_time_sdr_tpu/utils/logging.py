@@ -117,6 +117,14 @@ def stage_costs(rx) -> list[tuple[str, dict]]:
             [f.cost(n_if) for f in trio], n_if, trio[0].tail_len)))
         add("audio", rx.audio, ("delay_fir", "mono_fir", "stereo_fir"),
             n_if)
+    elif getattr(rx.audio, "_pb_bank", None) is not None:
+        # stereo-only: pilot + stereo band share one frame matrix too
+        # (models/audio.py _pb_bank)
+        duo = [rx.audio.pilot_fir, rx.audio.band_fir]
+        out.append(("audio.pb_bank(2 shared)", _merge_shared(
+            [f.cost(n_if) for f in duo], n_if, duo[0].tail_len)))
+        add("audio", rx.audio, ("delay_fir", "mono_fir", "stereo_fir"),
+            n_if)
     else:
         add("audio", rx.audio, ("pilot_fir", "band_fir", "delay_fir",
                                 "mono_fir", "stereo_fir"), n_if)
