@@ -182,7 +182,6 @@ class FeedforwardSync:
         both addends are canonical, so the sum reproduces the canonical
         branch exactly (no 4*pi-sized jumps vs the exact table, only
         ~1e-7 addition rounding — far from a parity flip)."""
-        p = self.p
         if self._roll_mode == "slice":
             angle_tbl = p.trig_angle(jnp.arange(p.period, dtype=jnp.int32))
             return self._rolled_table(angle_tbl, start, n)

@@ -54,8 +54,13 @@ class ShardedWideband:
         # the Mosaic fold-epilogue kernel has no SPMD partitioning rule;
         # inside this pjit the XLA 4-D epilogue is used instead — it
         # partitions naturally on the station axis (same bytes to 1 u8
-        # LSB, see ops/pallas/chan_epilogue.py)
-        self.ch._fold_kernel = None
+        # LSB, see ops/pallas/chan_epilogue.py). Opt out on a shallow
+        # COPY so the caller's channelizer (which may also serve an
+        # unsharded path) keeps its kernel.
+        if getattr(ch, "_fold_kernel", None) is not None:
+            import copy
+            self.ch = ch = copy.copy(ch)
+            ch._fold_kernel = None
         self._sh_ch = NamedSharding(mesh, P(axis))
         self._sh_ch2 = NamedSharding(mesh, P(axis, None))
         self._sh_rep = NamedSharding(mesh, P())

@@ -1,0 +1,319 @@
+"""Cross-oracle: the REFERENCE'S OWN Python models, run unmodified.
+
+Every other parity test in this suite compares the device path against
+``golden/`` — float64 oracles written by the same author as the framework,
+so a wrong constant shared by both would sail through. These tests break
+that circularity: the oracle here is ``/root/reference/model/*``
+(fmSupportLib.py, fmPll.py, fmRRC.py, OurRDS.py), imported read-only from
+the reference tree and executed AS-IS — the reference's entire development
+methodology is exactly this model-vs-implementation cross-check
+(model/fmMonoBlock.py:136-141 writes fm_demod blocks to .bin for the C++
+to diff against; SURVEY.md §4).
+
+Layers pinned here, each against the reference's own code:
+
+- filter designs (impulseResponseLPF/BPF/LPFupsampled, fmRRC) — exact;
+- FM demodulators (fmDemodArctan model/fmSupportLib.py:116-146, fmDemod
+  discriminator :164-183) — >100 dB over carried multi-block state;
+- the PLL (model/fmPll.py:25-175) at both the stereo (19 kHz, ncoScale 2)
+  and RDS (114 kHz, ncoScale 0.5, bw 1e-3) operating points — >100 dB;
+- block convolution + the 247/640 polyphase resampler
+  (convfilter/convfilter_resample, model/fmSupportLib.py:78-114) — >100 dB
+  with both sides carrying their own block state;
+- the RDS codec algebra: this repo's synthesized groups decode through the
+  reference's ManDecode/diffDecode (model/OurRDS.py:38-79) back to the
+  exact source bits, and every encoded block's calc_syndrome
+  (model/OurRDS.py:114-125) lands on the reference syndrome constants;
+- the FULL reference receiver ``OurRDS.py`` executed unmodified as a
+  subprocess on a repo-synthesized capture: its printed PI/PTY/PS must
+  match the synthesis ground truth AND this framework's own decode of the
+  very same bytes (model/OurRDS.py:217-509).
+
+Measured agreement at authoring time (CPU, f32 device path vs their f64):
+demod 131/175 dB, PLL 127/138 dB, conv 135 dB, resampler 135 dB — the
+bounds below leave ~30 dB of margin.
+"""
+
+import contextlib
+import io
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from real_time_sdr_tpu.config import ReceiverConfig
+from real_time_sdr_tpu.models.receiver import Receiver
+from real_time_sdr_tpu.models.rds_framing import RdsFramer
+from real_time_sdr_tpu.ops import demod, filters
+from real_time_sdr_tpu.ops.fir import PolyFIR
+from real_time_sdr_tpu.ops.pll import PllParams, pll_init, pll_scan
+from real_time_sdr_tpu.utils import synth
+
+REF_MODEL = "/root/reference/model"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_MODEL), reason="reference model tree not present")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """The reference's model modules, imported read-only and unmodified."""
+    os.environ.setdefault("MPLBACKEND", "Agg")
+    if REF_MODEL not in sys.path:
+        sys.path.insert(0, REF_MODEL)
+    import fmPll
+    import fmRRC
+    import fmSupportLib
+    import types
+    ns = types.SimpleNamespace(sup=fmSupportLib, pll=fmPll, rrc=fmRRC)
+    return ns
+
+
+def _snr_db(oracle, test):
+    oracle = np.asarray(oracle, np.float64)
+    err = oracle - np.asarray(test, np.float64)
+    return 10 * np.log10(np.mean(oracle ** 2)
+                         / max(np.mean(err ** 2), 1e-300))
+
+
+# ---------------------------------------------------------------------------
+# filter designs
+# ---------------------------------------------------------------------------
+
+def test_filter_designs_match_reference(ref):
+    lpf = filters.design_lpf(240e3, 16e3, 101)
+    assert np.allclose(lpf, ref.sup.impulseResponseLPF(16e3, 240e3, 101),
+                       atol=1e-12)
+    bpf = filters.design_bpf(240e3, 22e3, 54e3, 101)
+    assert np.allclose(bpf, ref.sup.impulseResponseBPF(240e3, [22e3, 54e3],
+                                                       101), atol=1e-12)
+    # the upsampled-gain LPF (their function prints the gain; swallow it)
+    with contextlib.redirect_stdout(io.StringIO()):
+        up_ref = ref.sup.impulseResponseLPFupsampled(3e3, 240e3 * 247,
+                                                     101 * 247, 247)
+    up = filters.design_lpf(240e3 * 247, 3e3, 101 * 247, gain=247)
+    assert np.allclose(up, up_ref, atol=1e-12)
+    rrc = filters.design_rrc(92625, 101)
+    assert np.allclose(
+        rrc, ref.rrc.impulseResponseRootRaisedCosine(92625, 101), atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# FM demodulators, carried state across blocks
+# ---------------------------------------------------------------------------
+
+def _fm_blocks(n, nb, seed=0):
+    rng = np.random.default_rng(seed)
+    ph = np.cumsum(0.5 * np.sin(2 * np.pi * 0.01 * np.arange(n * nb))
+                   + 0.02 * rng.standard_normal(n * nb))
+    return np.cos(ph).astype(np.float32), np.sin(ph).astype(np.float32)
+
+
+def test_fm_demod_arctan_vs_reference(ref):
+    n, nb = 5120, 3
+    I, Q = _fm_blocks(n, nb)
+    prev = 0.0
+    theta = jnp.zeros(())
+    oracle, ours = [], []
+    for b in range(nb):
+        ib, qb = I[b * n:(b + 1) * n], Q[b * n:(b + 1) * n]
+        d, prev = ref.sup.fmDemodArctan(ib, qb, prev)
+        oracle.append(d)
+        dj, theta = demod.fm_demod_arctan(jnp.asarray(ib), jnp.asarray(qb),
+                                          theta)
+        ours.append(np.asarray(dj))
+    assert _snr_db(np.concatenate(oracle), np.concatenate(ours)) > 100
+
+
+def test_fm_demod_discriminator_vs_reference(ref):
+    n, nb = 5120, 3
+    I, Q = _fm_blocks(n, nb, seed=1)
+    pi_r = pq_r = 0.0
+    pi_j = pq_j = jnp.zeros(())
+    oracle, ours = [], []
+    for b in range(nb):
+        ib, qb = I[b * n:(b + 1) * n], Q[b * n:(b + 1) * n]
+        d, pi_r, pq_r = ref.sup.fmDemod(ib, qb, pi_r, pq_r)
+        oracle.append(d)
+        dj, pi_j, pq_j = demod.fm_demod(jnp.asarray(ib), jnp.asarray(qb),
+                                        pi_j, pq_j)
+        ours.append(np.asarray(dj))
+    assert _snr_db(np.concatenate(oracle), np.concatenate(ours)) > 100
+
+
+# ---------------------------------------------------------------------------
+# PLL at both production operating points
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("freq,scale,bw", [
+    (19000, 2.0, 0.01),     # stereo carrier recovery (src/stereo.cpp)
+    (114000, 0.5, 0.001),   # RDS carrier recovery (src/rds.cpp)
+])
+def test_pll_vs_reference(ref, freq, scale, bw):
+    n, nb = 5120, 3
+    rng = np.random.default_rng(2)
+    x = (np.cos(2 * np.pi * freq * np.arange(n * nb) / 240e3 + 0.3)
+         + 0.01 * rng.standard_normal(n * nb)).astype(np.float32)
+    state = [0.0, 0.0, 1.0, 0.0, 1.0, 0.0, 0]
+    p = PllParams(freq=freq, fs=240_000, nco_scale=scale, norm_bw=bw)
+    carry = pll_init()
+    oracle, ours = [], []
+    for b in range(nb):
+        xb = x[b * n:(b + 1) * n]
+        ip, _, state = ref.pll.fmPll(xb.astype(np.float64), float(freq),
+                                     240e3, state, scale, 0.0, bw)
+        # their ncoOut[0] is the carried previous sample: ip[:-1] is the
+        # consumer-visible one-sample-delayed carrier — exactly what
+        # pll_scan returns
+        oracle.append(ip[:-1])
+        car, carry = pll_scan(jnp.asarray(xb), carry, p)
+        ours.append(np.asarray(car))
+    assert _snr_db(np.concatenate(oracle), np.concatenate(ours)) > 100
+
+
+# ---------------------------------------------------------------------------
+# block convolution + polyphase resampler, both sides carrying state
+# ---------------------------------------------------------------------------
+
+def test_convfilter_vs_reference(ref):
+    rng = np.random.default_rng(3)
+    n = 5120
+    x = rng.standard_normal(2 * n).astype(np.float32)
+    h = filters.design_lpf(240e3, 16e3, 101)
+    f = PolyFIR(h)
+    tail = jnp.zeros((f.tail_len,), jnp.float32)
+    state = np.zeros(100)
+    oracle, ours = [], []
+    for b in range(2):
+        xb = x[b * n:(b + 1) * n]
+        y, state = ref.sup.convfilter(h, xb.astype(np.float64), state)
+        oracle.append(y)
+        yj, tail = f(jnp.asarray(xb), tail)
+        ours.append(np.asarray(yj))
+    assert _snr_db(np.concatenate(oracle), np.concatenate(ours)) > 100
+
+
+def test_polyphase_resampler_vs_reference(ref):
+    rng = np.random.default_rng(4)
+    n = 5120
+    x = rng.standard_normal(2 * n).astype(np.float32)
+    with contextlib.redirect_stdout(io.StringIO()):
+        h = ref.sup.impulseResponseLPFupsampled(3e3, 240e3 * 247,
+                                                101 * 247, 247)
+    f = PolyFIR(h, up=247, down=640)
+    tail = jnp.zeros((f.tail_len,), jnp.float32)
+    state = np.zeros(100)
+    oracle, ours = [], []
+    for b in range(2):
+        xb = x[b * n:(b + 1) * n]
+        # their signature is (coeff, x, state, DOWNSAMPLE, UPSAMPLE, gain)
+        y, state = ref.sup.convfilter_resample(h, xb.astype(np.float64),
+                                               state, 640, 247, 247)
+        oracle.append(y)
+        yj, tail = f(jnp.asarray(xb), tail)
+        ours.append(np.asarray(yj))
+    assert [len(a) for a in oracle] == [len(a) for a in ours]
+    assert _snr_db(np.concatenate(oracle), np.concatenate(ours)) > 100
+
+
+# ---------------------------------------------------------------------------
+# RDS codec algebra: repo encode -> reference decode
+# ---------------------------------------------------------------------------
+
+def test_reference_decodes_our_symbol_stream():
+    """synth's differential+Manchester encode must invert through the
+    reference's ManDecode+diffDecode (model/OurRDS.py:38-79) exactly."""
+    sys.path.insert(0, REF_MODEL) if REF_MODEL not in sys.path else None
+    os.environ.setdefault("MPLBACKEND", "Agg")
+    import OurRDS as ref_rds
+
+    groups = synth.ps_groups(0x3A5C, 5, "ORACLE-8")
+    bits = [b for g in groups for b in synth.group_to_bits(g)]
+    diff = synth.differential_encode(bits * 3)
+    syms = synth.manchester_symbols(diff) > 0   # hard symbols, no channel
+    # feed in uneven blocks to exercise their half-symbol/start carry
+    half, start, last = 0, 0, 0
+    decoded = []
+    edges = [0, 173, 520, 1001, len(syms)]
+    for bc, (lo, hi) in enumerate(zip(edges[:-1], edges[1:])):
+        man, half, start = ref_rds.ManDecode(list(syms[lo:hi]), bc, half,
+                                            start)
+        blk, last = ref_rds.diffDecode(man, last, bc)
+        decoded.extend(int(v) for v in blk)
+    src = [int(b) for b in bits * 3]
+    # their block-0 polarity hunt may discard the leading half symbol;
+    # align on the first source bit
+    assert len(decoded) >= len(src) - 2
+    k = len(decoded)
+    assert decoded[:k] == src[:k]
+
+
+def test_reference_syndromes_recognize_our_blocks():
+    """Every block of a repo-encoded group must land on the reference's
+    syndrome constants {383,14,303,663,748} through THEIR calc_syndrome."""
+    sys.path.insert(0, REF_MODEL) if REF_MODEL not in sys.path else None
+    os.environ.setdefault("MPLBACKEND", "Agg")
+    import OurRDS as ref_rds
+
+    group = synth.encode_group(0x3A5C, 0, 5, 2, 0xE20A, 0x2020)
+    bits = synth.group_to_bits(group)
+    for blk_i, expect in enumerate([383, 14, 303, 663]):  # A B C D
+        word = 0
+        for b in bits[26 * blk_i:26 * (blk_i + 1)]:
+            word = (word << 1) | b
+        assert ref_rds.calc_syndrome(word, 26) == expect
+    # version-B C' blocks must land on the C' syndrome (748)
+    group_b = synth.encode_group(0x3A5C, 0, 5, 2, 0x1234, 0x2020,
+                                 version_b=True)
+    bits_b = synth.group_to_bits(group_b)
+    word = 0
+    for b in bits_b[52:78]:
+        word = (word << 1) | b
+    assert ref_rds.calc_syndrome(word, 26) == 748
+
+
+# ---------------------------------------------------------------------------
+# the full reference receiver, executed unmodified
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_full_reference_chain_decodes_same_capture(tmp_path):
+    """Run model/OurRDS.py AS-IS (subprocess, their relative data path) on a
+    repo-synthesized mode-0 capture; its printed PI/PTY/PS must equal the
+    synthesis ground truth, and this framework must decode the identical
+    bytes to the identical program service."""
+    ps, pi, pty = "TPU-FM  ", 0x3A5C, 5   # pty 5 = "Rock" in RBDS
+    cfg = ReceiverConfig()                 # mode 0 — the model's rates
+    iq, _ = synth.station_iq(cfg, 45, ps_name=ps, pi=pi, pty=pty)
+    (tmp_path / "data").mkdir()
+    iq.tofile(tmp_path / "data" / "samples3.raw")
+
+    env = dict(os.environ, MPLBACKEND="Agg",
+               PYTHONPATH=REF_MODEL + os.pathsep
+               + os.environ.get("PYTHONPATH", ""))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REF_MODEL, "OurRDS.py")],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
+    assert "Sync State Detected" in out
+    assert f"PI: {hex(pi)}" in out
+    assert "PTY: Rock" in out
+    ps_lines = [ln[4:] for ln in out.splitlines() if ln.startswith("PS: ")]
+    # their PS register fills left-to-right; the last print is the settled
+    # name (earlier prints can be partial fills)
+    assert ps_lines and ps_lines[-1] == ps
+
+    # this framework, same bytes
+    rx = Receiver(0, stereo=True, rds=True)
+    _, outp = rx.run_segment(rx.init_state(), jnp.asarray(iq))
+    framer = RdsFramer()
+    bits, nb = np.asarray(outp.rds_bits), np.asarray(outp.rds_nbits)
+    for b in range(bits.shape[0]):
+        if nb[b] > 0:
+            framer.feed(bits[b][:nb[b]])
+    assert framer.events.ps_name == ps == ps_lines[-1]
+    assert framer.events.pi == pi
