@@ -105,6 +105,15 @@ def make_parser() -> argparse.ArgumentParser:
                          "the mode's RF rate)")
     ap.add_argument("--output-dir", default=None,
                     help="per-station PCM output directory (wideband mode)")
+    ap.add_argument("--retune", action="append", default=None,
+                    metavar="SEG:STATION:HZ",
+                    help="at dispatched segment index SEG (0-based), "
+                         "re-point station STATION to offset HZ without "
+                         "recompiling (fused wideband path only: weights "
+                         "are served as device operands; other stations' "
+                         "DSP state is untouched). Repeatable. The "
+                         "reference's only retune is restarting rtl_sdr "
+                         "-f (model/fmMonoBasic.py:30-42)")
     return ap
 
 
@@ -168,6 +177,26 @@ def run_wideband(args, rx, cfg) -> int:
     print(f"wideband frontend: "
           f"{'fused one-matmul' if fused else 'two-stage uint8'} path",
           file=sys.stderr)
+    retunes: dict[int, list[tuple[int, int]]] = {}
+    if args.retune:
+        try:
+            for spec in args.retune:
+                a, b, c = spec.split(":")
+                if not 0 <= int(b) < len(offsets):
+                    raise ValueError(spec)
+                retunes.setdefault(int(a), []).append((int(b), int(c)))
+        except ValueError:
+            print(f"error: --retune takes SEG:STATION:HZ with STATION < "
+                  f"{len(offsets)}, got {args.retune!r}", file=sys.stderr)
+            return 2
+        if not fused:
+            print("error: --retune requires the fused wideband frontend "
+                  "(RTSDR_WB_FUSED=0 or an ineligible grid forces the "
+                  "two-stage path, whose weights are jit constants)",
+                  file=sys.stderr)
+            return 2
+    # operand-weights serving: retunable without recompiling
+    weights = ch.device_weights() if retunes else None
     bank = ChannelBank(rx, n_channels=len(offsets))
     fin = sys.stdin.buffer if args.input == "-" else open(args.input, "rb")
     outdir = args.output_dir or "."
@@ -223,7 +252,8 @@ def run_wideband(args, rx, cfg) -> int:
     if args.warmup:
         t0 = time.perf_counter()
         zu = jnp.full((seg_n * 2 * block_pairs,), 128, jnp.uint8)
-        _, wout, _ = bank.run_wideband_u8_jit(bstate, ch, zu, cstate)
+        _, wout, _ = bank.run_wideband_u8_jit(bstate, ch, zu, cstate,
+                                              weights=weights)
         # warm the per-station PCM conversion (first-use remote compiles
         # otherwise land on the first live segment)
         wpcm = (stereo_pcm(wout.left, wout.right) if rx.stereo
@@ -264,7 +294,23 @@ def run_wideband(args, rx, cfg) -> int:
                     if nbk[bi] > 0:
                         framers[k].feed(bitsk[bi][:nbk[bi]])
 
+    seg_i = 0
     while True:
+        if seg_i in retunes:
+            # drain first: pending outputs belong to the old grid and
+            # must reach the old framers before the station re-points
+            while in_flight:
+                drain_one()
+            for si, hz in retunes.pop(seg_i):
+                ch.retune(si, hz)
+                if framers is not None:
+                    framers[si] = RdsFramer(
+                        on_event=lambda kind, val, k=si: print(
+                            f"ch{k} {kind}: {val}", file=sys.stderr),
+                        correct_bursts=args.rds_correct)
+                print(f"retuned station {si} -> {hz} Hz at segment "
+                      f"{seg_i} (no recompile)", file=sys.stderr)
+            weights = ch.device_weights()
         # --segment G: channelize + decode G wideband blocks per device
         # call (one graph, G fewer RPCs — same serving shape as the
         # station bank; the trailing partial segment shrinks to what the
@@ -298,7 +344,8 @@ def run_wideband(args, rx, cfg) -> int:
             raw = np.concatenate([raw, np.full(pad_blocks * 2 * block_pairs,
                                                128, np.uint8)])
         bstate, out, cstate = bank.run_wideband_u8_jit(  # async dispatch
-            bstate, ch, jnp.asarray(raw), cstate)
+            bstate, ch, jnp.asarray(raw), cstate, weights=weights)
+        seg_i += 1
         # ONE batched (S, ...) PCM array: a per-station list would make the
         # drain's device_get fetch N+2 leaves, each a full tunnel RPC
         # (~80 ms x 8 stations measured 500-800 ms per drain — slower than

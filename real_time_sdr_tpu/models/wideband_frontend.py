@@ -190,46 +190,106 @@ class FusedWidebandFrontend:
         self._init_weights(r_n)
         self._plan_cache: dict[int, tuple] = {}
 
-    def _init_weights(self, r_n: int) -> None:
-        """(2J, R*2S) fold weights, col = r*2S + u (u < S real rail); the
-        station tone at the wide rate AND the static r-part of the
-        IF-rate output tone fold into the columns (integer phase — see
-        models/channelizer.py:_init_fold, same construction)."""
-        p, dt, s_ch = self.wide_fs, self.dt, len(self.offsets)
-        k_eq, h = self.k_eq, self._h_eq
-        self.r_n = r_n
-        self.j_w = k_eq + (r_n - 1) * dt
+    def _station_cols(self, f: int):
+        """One station's fold columns + residual-rotation rows, host f64.
+
+        Returns (a_cols (2J, R) real-rail columns, b_cols (2J, R) imag,
+        pc_col (lo,), ps_col (lo,)): the station tone e^{+j*w_s*t} folds
+        per-tap, the static r-part of the IF-rate output tone
+        e^{-j*w_s*dt*r} rotates each r-column pair (integer phase — see
+        models/channelizer.py:_init_fold, same construction). Per-station
+        so ``retune`` can rebuild a single station's columns in-place."""
+        p, dt, k_eq, h = self.wide_fs, self.dt, self.k_eq, self._h_eq
+        r_n, j_w = self.r_n, self.j_w
         t = np.arange(k_eq, dtype=np.int64)
-        w2 = np.zeros((2 * self.j_w, r_n * 2 * s_ch))
-        cols_s = np.arange(s_ch)[:, None]
-        for si, f in enumerate(self.offsets):
-            fr = f % p
-            ang = 2.0 * np.pi * ((fr * t) % p).astype(np.float64) / p
-            hc, hs = h * np.cos(ang), h * np.sin(ang)
-            for r in range(r_n):
-                rows = (k_eq - 1) + r * dt - t
-                base = r * 2 * s_ch
-                w2[rows, base + si] = hc
-                w2[self.j_w + rows, base + si] = -hs
-                w2[rows, base + s_ch + si] = hs
-                w2[self.j_w + rows, base + s_ch + si] = hc
-        # IF-rate output tone e^{-j*w_s*dt*u}: static r-part into columns
+        ang_t = 2.0 * np.pi * (((f % p) * t) % p).astype(np.float64) / p
+        hc, hs = h * np.cos(ang_t), h * np.sin(ang_t)
         u = np.arange(max(self.lo, r_n), dtype=np.int64)
-        ang = np.stack([-2.0 * np.pi
-                        * ((((f * dt) % p) * u) % p).astype(np.float64) / p
-                        for f in self.offsets])
-        uc_r, us_r = np.cos(ang[:, :r_n]), np.sin(ang[:, :r_n])
+        ang_u = (-2.0 * np.pi
+                 * ((((f * dt) % p) * u) % p).astype(np.float64) / p)
+        uc_r, us_r = np.cos(ang_u[:r_n]), np.sin(ang_u[:r_n])
+        a_cols = np.zeros((2 * j_w, r_n))
+        b_cols = np.zeros((2 * j_w, r_n))
         for r in range(r_n):
-            base = r * 2 * s_ch
-            cre = base + np.arange(s_ch)
-            cim = base + s_ch + np.arange(s_ch)
-            wre, wim = w2[:, cre].copy(), w2[:, cim].copy()
-            w2[:, cre] = wre * uc_r[:, r] - wim * us_r[:, r]
-            w2[:, cim] = wim * uc_r[:, r] + wre * us_r[:, r]
+            rows = (k_eq - 1) + r * dt - t
+            a = np.zeros(2 * j_w)
+            b = np.zeros(2 * j_w)
+            a[rows], a[j_w + rows] = hc, -hs
+            b[rows], b[j_w + rows] = hs, hc
+            a_cols[:, r] = a * uc_r[r] - b * us_r[r]
+            b_cols[:, r] = b * uc_r[r] + a * us_r[r]
+        return a_cols, b_cols, np.cos(ang_u[:self.lo]), np.sin(ang_u[:self.lo])
+
+    def _init_weights(self, r_n: int) -> None:
+        """(2J, R*2S) fold weights, col = r*2S + u (u < S real rail)."""
+        s_ch = len(self.offsets)
+        self.r_n = r_n
+        self.j_w = self.k_eq + (r_n - 1) * self.dt
+        w2 = np.zeros((2 * self.j_w, r_n * 2 * s_ch))
+        pc = np.zeros((self.lo, s_ch))
+        ps = np.zeros((self.lo, s_ch))
+        for si, f in enumerate(self.offsets):
+            a_cols, b_cols, pc[:, si], ps[:, si] = self._station_cols(f)
+            for r in range(r_n):
+                base = r * 2 * s_ch
+                w2[:, base + si] = a_cols[:, r]
+                w2[:, base + s_ch + si] = b_cols[:, r]
         self._w = w2.astype(np.float32)
+        self._pc_np = pc.astype(np.float32)
+        self._ps_np = ps.astype(np.float32)
         # per-segment residual rotation tables, (lo, S) for one-row slice
-        self._pc = jnp.asarray(np.cos(ang[:, :self.lo]).T.astype(np.float32))
-        self._ps = jnp.asarray(np.sin(ang[:, :self.lo]).T.astype(np.float32))
+        self._pc = jnp.asarray(self._pc_np)
+        self._ps = jnp.asarray(self._ps_np)
+        self._dev_weights = None   # device-operand cache (device_weights)
+
+    def device_weights(self):
+        """The fold weights as DEVICE OPERANDS: (w, pc, ps), precast to the
+        matmul dtype (bf16 modes upload ~half the bytes of f32).
+
+        Serving with operands instead of jit-constants makes the station
+        grid RUNTIME-RETUNABLE: ``retune`` rebuilds one station's columns
+        host-side and the next ``device_weights`` call re-uploads — no
+        recompile, no weight re-baking of the other stations, receiver
+        state untouched (the sharded path,
+        parallel.wideband.ShardedFusedWideband, already passes weights as
+        shard_map operands through the same ``core``). The reference
+        retunes by restarting ``rtl_sdr -f`` (model/fmMonoBasic.py:30-42).
+        """
+        if self._dev_weights is None:
+            w = (self._w.astype(np.dtype("bfloat16"))
+                 if self.compute_dtype == "bf16" else self._w)
+            self._dev_weights = (jnp.asarray(w), self._pc, self._ps)
+        return self._dev_weights
+
+    def retune(self, station: int, offset_hz: int) -> None:
+        """Re-point one station of the grid at a new offset (host-side
+        weight rebuild, O(2J*R) — microseconds; no recompile when served
+        through ``device_weights`` operands).
+
+        The new offset must keep the grid's static-tone geometry: its
+        IF-rate tone period must divide the constructed ``lo`` (true for
+        any retune within the same raster the frontend was built on)."""
+        p, dt = self.wide_fs, self.dt
+        f = int(offset_hz)
+        fd = (f * dt) % p
+        per = p // math.gcd(fd, p) if fd else 1
+        if self.lo % per:
+            raise ValueError(
+                f"offset {f} Hz has IF-tone period {per}, not a divisor "
+                f"of this grid's lo={self.lo}; rebuild the frontend for "
+                "off-raster offsets")
+        s_ch = len(self.offsets)
+        a_cols, b_cols, pc_col, ps_col = self._station_cols(f)
+        for r in range(self.r_n):
+            base = r * 2 * s_ch
+            self._w[:, base + station] = a_cols[:, r]
+            self._w[:, base + s_ch + station] = b_cols[:, r]
+        self._pc_np[:, station] = pc_col
+        self._ps_np[:, station] = ps_col
+        self._pc = jnp.asarray(self._pc_np)
+        self._ps = jnp.asarray(self._ps_np)
+        self.offsets[station] = f
+        self._dev_weights = None   # re-upload on next device_weights()
 
     def init_state(self) -> FusedWidebandState:
         s = len(self.offsets)
@@ -353,12 +413,17 @@ class FusedWidebandFrontend:
         return demod_t.T, i_t[n_if - 1], q_t[n_if - 1]
 
     def __call__(self, i_wide: jax.Array, q_wide: jax.Array,
-                 state: FusedWidebandState):
+                 state: FusedWidebandState, weights=None):
         """i_wide, q_wide: (N,) float32 at wide_fs, N % (D*rf_decim) == 0.
 
+        ``weights``: optional (w, pc, ps) DEVICE OPERANDS from
+        ``device_weights()`` — the runtime-retunable serving form (the
+        weights become traced jit arguments instead of baked constants).
         Returns (demod (S, N // (D*rf_decim)) float32, new state)."""
+        w, pc, ps = weights if weights is not None else (
+            self._w, self._pc, self._ps)
         demod, last_i, last_q = self.core(
-            self._w, self._pc, self._ps, state.i_tail, state.q_tail,
+            w, pc, ps, state.i_tail, state.q_tail,
             state.prev_i, state.prev_q, state.pos, i_wide, q_wide)
         tl = self.tail_len
         new = FusedWidebandState(

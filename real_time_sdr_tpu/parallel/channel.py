@@ -96,7 +96,7 @@ class ChannelBank:
         return state, out, cstate
 
     def run_channelized_fused(self, state, wf, i_wide, q_wide, wstate,
-                              group: int = 0):
+                              group: int = 0, weights=None):
         """Wideband segment pass through the FUSED wideband frontend
         (models/wideband_frontend.py): one wide-rate matmul emits every
         station's IF demod directly — no uint8 hop, no per-station
@@ -109,8 +109,11 @@ class ChannelBank:
         lax.map sub-batches inside the same graph (the
         run_segment_grouped cache-locality trick — the per-station IF
         chains dominate the fused graph, and a 16-wide resident working
-        set measured +6% over the 64-wide vmap on v5e, seg 8)."""
-        demod, wstate = wf(i_wide, q_wide, wstate)
+        set measured +6% over the 64-wide vmap on v5e, seg 8).
+
+        ``weights``: optional (w, pc, ps) device operands from
+        ``wf.device_weights()`` — the runtime-retunable serving form."""
+        demod, wstate = wf(i_wide, q_wide, wstate, weights)
         state, out = self._bank_demod(state, demod, group)
         return state, out, wstate
 
@@ -147,23 +150,32 @@ class ChannelBank:
         return fn(state, i_wide, q_wide, cstate)
 
     def run_channelized_fused_jit(self, state, wf, i_wide, q_wide, wstate,
-                                  group: int | None = None):
+                                  group: int | None = None, weights=None):
         """Jitted ``run_channelized_fused`` for eager serving loops.
 
         ``group`` defaults to the measured serving optimum: 16-wide bank
         sub-batches on TPU (RTSDR_WB_GROUP overrides; 0 disables), no
-        grouping elsewhere."""
+        grouping elsewhere. ``weights``: (w, pc, ps) device operands
+        (``wf.device_weights()``) for runtime-retunable serving —
+        measured operand-vs-constant cost in BENCH_NOTES."""
         if group is None:
             group = _default_wb_group()
-        fn = self._chan_jit_cache.get((id(wf), group))
+        key = (id(wf), group, weights is not None)
+        fn = self._chan_jit_cache.get(key)
         if fn is None:
-            fn = self._chan_jit_cache[(id(wf), group)] = jax.jit(
-                lambda s, i, q, w: self.run_channelized_fused(
+            if weights is not None:
+                fn = jax.jit(lambda s, i, q, w, wts: self.run_channelized_fused(
+                    s, wf, i, q, w, group=group, weights=wts))
+            else:
+                fn = jax.jit(lambda s, i, q, w: self.run_channelized_fused(
                     s, wf, i, q, w, group=group))
+            self._chan_jit_cache[key] = fn
+        if weights is not None:
+            return fn(state, i_wide, q_wide, wstate, weights)
         return fn(state, i_wide, q_wide, wstate)
 
     def run_wideband_u8_jit(self, state, fe, raw_u8, festate,
-                            group: int | None = None):
+                            group: int | None = None, weights=None):
         """LIVE-ingest wideband serving: interleaved raw uint8 capture
         bytes in, station decodes out — the upload stays bytes (4x less
         tunnel traffic than f32 rails, the difference between 0.2x and
@@ -175,12 +187,12 @@ class ChannelBank:
             FusedWidebandFrontend, u8_to_rails)
         if group is None:
             group = _default_wb_group()
-        key = (id(fe), group, "u8")
+        key = (id(fe), group, "u8", weights is not None)
         fn = self._chan_jit_cache.get(key)
         if fn is None:
             if isinstance(fe, FusedWidebandFrontend):
-                def _u8_step(s, raw, w):
-                    demod, w = fe(*u8_to_rails(raw), w)
+                def _u8_step(s, raw, w, wts=None):
+                    demod, w = fe(*u8_to_rails(raw), w, wts)
                     s, out = self._bank_demod(s, demod, group)
                     return s, out, w
             else:
@@ -188,17 +200,22 @@ class ChannelBank:
                     i_wide, q_wide = u8_to_rails(raw)
                     return self.run_channelized(s, fe, i_wide, q_wide, c)
             fn = self._chan_jit_cache[key] = jax.jit(_u8_step)
+        if weights is not None:
+            return fn(state, raw_u8, festate, weights)
         return fn(state, raw_u8, festate)
 
-    def run_wideband_jit(self, state, fe, i_wide, q_wide, festate):
+    def run_wideband_jit(self, state, fe, i_wide, q_wide, festate,
+                         weights=None):
         """Serving entry for EITHER wideband frontend: dispatches on the
         object built by models.wideband_frontend.make_wideband_frontend
-        (FusedWidebandFrontend or Channelizer)."""
+        (FusedWidebandFrontend or Channelizer). ``weights``: optional
+        retunable device operands (fused frontend only)."""
         from real_time_sdr_tpu.models.wideband_frontend import \
             FusedWidebandFrontend
         if isinstance(fe, FusedWidebandFrontend):
             return self.run_channelized_fused_jit(state, fe, i_wide,
-                                                  q_wide, festate)
+                                                  q_wide, festate,
+                                                  weights=weights)
         return self.run_channelized_jit(state, fe, i_wide, q_wide, festate)
 
     def run_segment_grouped(self, state, segments, group: int = 32):

@@ -176,6 +176,44 @@ def test_cli_wideband_multistation(tmp_path):
         assert len(pcm) == 26 * cfg.audio_block * 2
 
 
+def test_cli_wideband_retune_midstream(tmp_path):
+    """--retune SEG:STATION:HZ re-points one station mid-stream with no
+    recompile: station 1 follows its old program in the first segments
+    and the new transmitter's program after the retune point."""
+    from real_time_sdr_tpu.utils import synth as _synth
+
+    cfg = mode_config(0)
+    sky = [dict(offset_hz=-600_000, tone_left=400.0, tone_right=400.0),
+           dict(offset_hz=800_000, tone_left=900.0, tone_right=900.0),
+           dict(offset_hz=1_200_000, tone_left=2500.0, tone_right=2500.0)]
+    iw, qw, _ = _synth.wideband_iq(cfg, 4 * cfg.rf_fs, sky, 8)
+    iq = np.empty(2 * len(iw))
+    iq[0::2] = iw
+    iq[1::2] = qw
+    wb = tmp_path / "wideband.raw"
+    np.clip(np.round(128 + 127 * iq), 0, 255).astype(np.uint8).tofile(wb)
+
+    outdir = tmp_path / "stations"
+    r = run_cli(["0", "m", "--stations=-600000,800000",
+                 "--wide-fs", "9600000", "--output-dir", str(outdir),
+                 "--segment", "4", "--retune", "1:1:1200000"], wb)
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    assert "retuned station 1 -> 1200000 Hz at segment 1" in r.stderr.decode()
+
+    pcm = np.fromfile(outdir / "station_1.pcm", "<i2").astype(np.float64)
+    half = len(pcm) // 2
+
+    def tone(x):
+        sp = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+        return np.fft.rfftfreq(len(x), 1 / float(cfg.audio_fs))[sp.argmax()]
+
+    assert abs(tone(pcm[half // 3:half]) - 900.0) < 20
+    assert abs(tone(pcm[half + half // 3:]) - 2500.0) < 20
+    # station 0 never moved
+    pcm0 = np.fromfile(outdir / "station_0.pcm", "<i2").astype(np.float64)
+    assert abs(tone(pcm0[len(pcm0) // 3:]) - 400.0) < 20
+
+
 def test_cli_wideband_corrupt_sidecar_starts_fresh(tmp_path):
     """A truncated/corrupt .rds.json must rebuild ALL framers (not leave
     half-loaded state) and still decode correctly."""
