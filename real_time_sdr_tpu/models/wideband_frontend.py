@@ -332,8 +332,10 @@ class FusedWidebandFrontend:
                 + passes * ebytes * 2 * self.j_w * self.r_n * 2 * s_ch
                 + 4 * s_ch * n_if * 2)                # demod out + transpose
         return {"kind": f"fused_wb_{self.compute_dtype}", "flops": flops,
-                "bytes": byts, "dims": (c_frames, 2 * self.j_w,
-                                        self.r_n * 2 * s_ch)}
+                "bytes": byts,
+                "w_bytes": passes * ebytes * 2 * self.j_w
+                * self.r_n * 2 * s_ch,
+                "dims": (c_frames, 2 * self.j_w, self.r_n * 2 * s_ch)}
 
     def _matmul(self, fr: jax.Array, w) -> jax.Array:
         # w is a numpy constant (unsharded path) or a traced shard_map

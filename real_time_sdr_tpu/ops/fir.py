@@ -50,15 +50,18 @@ __all__ = ["PolyFIR", "state_len", "init_state", "make_bank", "barrier"]
 # RTSDR_NO_BARRIER=all (there is no RTSDR_BARRIER=all); unset both to get
 # the measured defaults.
 #
-# Defaults (v5e A/B sweeps, 2026-08-19, digests byte-identical throughout):
-# the FRONTEND sites ("dualphase"/"frontend") and the channelizer's "chan"
-# site ship barrier-free (repeatable wins). The remaining FIR-site + PLL
-# barriers stay conservatively: the late-round re-sweep found the historic
-# fusion-search compile explosion GONE on the restructured graph (no-all
-# compiles in ~10 s and runs +0.8%, within day-to-day noise), but the
-# explosion was graph-shape-dependent and sub-1% is not worth the risk of
-# reintroducing it on untested shapes. Re-sweep after structural changes
-# (experiments/barrier_ab.py).
+# Defaults (v5e A/B sweeps, digests byte-identical throughout): the
+# FRONTEND sites ("dualphase"/"frontend") and the channelizer's "chan"
+# site ship barrier-free since 2026-08-19. The round-5 re-sweep on the
+# rot-restructured graph (2026-08-20, BENCH_NOTES) also dropped
+# "polyfir"/"shared"/"pll": the historic fusion-search compile explosion
+# stays gone at every measured shape (16/32/128ch x 12/48blk, modes 0-3,
+# 8/64-station wideband — all compiles <=38 s), the flagship aggregate
+# ties, and the small-bank shapes win big (16ch +14-20%, 8-station
+# wideband +10%, mode 3 +6%). Only "chanfold" still pays for itself
+# (the fold-graph explosion below is real). RTSDR_BARRIER=
+# polyfir,shared,pll restores the old conservative set; re-sweep after
+# structural changes (experiments/barrier_ab.py).
 _NO_BARRIER = frozenset(
     t.strip() for t in os.environ.get("RTSDR_NO_BARRIER", "").split(",")
     if t.strip())
@@ -79,7 +82,8 @@ _F32_PREC_NAME = os.environ.get("RTSDR_FIR_PREC", "auto")
 assert _F32_PREC_NAME in ("auto", "highest", "high"), (
     f"RTSDR_FIR_PREC={_F32_PREC_NAME!r}: use 'auto', 'highest' or 'high'")
 
-_DEFAULT_OFF = frozenset(("dualphase", "frontend", "chan"))
+_DEFAULT_OFF = frozenset(("dualphase", "frontend", "chan",
+                          "polyfir", "shared", "pll"))
 # "chan" (the channelizer's MIX-mode wideband FIR stage): barrier-free is
 # ~3% faster at 64 stations with identical compile time (2026-08-19 A/B);
 # it is not part of the chained-FIR pattern the polyfir barrier guards.
@@ -202,18 +206,23 @@ class PolyFIR:
         input block (single channel)."""
         if self._single_tap:
             return {"kind": "delay", "flops": 0, "bytes": 8 * n,
-                    "dims": (0, 0, 0)}
+                    "w_bytes": 0, "dims": (0, 0, 0)}
         n_out, R, stride, J, W, c_frames, s_over, pad_to = self._plan(n)
         flops = 2 * c_frames * J * R
         # HBM floor: the barrier-materialized stage input + weights + output.
         # NOT c_frames*J — XLA fuses frame construction into the matmul, so
         # the frame matrix never hits HBM (measured, BENCH_NOTES 32x12 A/B).
         # bf16 mode moves 2-byte elements for the input/tails/weights (the
-        # output stays f32).
+        # output stays f32). "w_bytes" (the weight share of "bytes") is
+        # broken out because weights stream once per DISPATCH, not once per
+        # block-channel — utils/logging.stage_costs amortizes it over the
+        # serving shape (the round-4 floor model charged it per blk/ch,
+        # overstating weight-heavy stages up to 10x — BENCH_NOTES r5).
         el = 2 if self.compute_dtype == "bf16" else 4
         byts = el * (n + self.tail_len + J * R) + 4 * n_out
         return {"kind": f"fir_{self.compute_dtype}", "flops": flops,
-                "bytes": byts, "dims": (c_frames, J, R)}
+                "bytes": byts, "w_bytes": el * J * R,
+                "dims": (c_frames, J, R)}
 
     def __call__(self, x: jax.Array, tail: jax.Array):
         """Apply to one block. x: (..., N); tail: (..., T-1).
@@ -455,7 +464,7 @@ class DualPhaseFIR:
                 + 2 * 2 * J * 2 * R       # bf16 hi+lo weights
                 + 4 * 2 * n_out)          # f32 I and Q outputs
         return {"kind": "fir_u8_bf16x2", "flops": flops, "bytes": byts,
-                "dims": (c_frames, J, 2 * R)}
+                "w_bytes": 2 * 2 * J * 2 * R, "dims": (c_frames, J, 2 * R)}
 
     def __call__(self, s_u8: jax.Array, tail_u8: jax.Array):
         """s_u8: (..., 2N) raw interleaved uint8; tail_u8: (..., 2K-2) uint8.

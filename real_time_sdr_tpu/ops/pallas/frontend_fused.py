@@ -225,6 +225,7 @@ class FusedFrontendFIR:
                 + 2 * 2 * self.jp * 2 * self.g  # resident bf16 weights
                 + 4 * n_out)                    # fused demod out
         return {"kind": "fused_u8_bf16x2", "flops": flops, "bytes": byts,
+                "w_bytes": 2 * 2 * self.jp * 2 * self.g,
                 "dims": (nbf * tf, self.jp, 2 * self.g)}
 
     def _boundary_dots(self, xf: jax.Array, ms) -> jax.Array:

@@ -87,16 +87,38 @@ def _merge_shared(costs: list[dict], n: int, tail_len: int) -> dict:
         - (len(costs) - 1) * el * (n + tail_len)
     return {"kind": costs[0]["kind"] + f"_x{len(costs)}shared",
             "flops": sum(c["flops"] for c in costs), "bytes": byts,
+            "w_bytes": sum(c.get("w_bytes", 0) for c in costs),
             "dims": costs[0]["dims"]}
 
 
-def stage_costs(rx) -> list[tuple[str, dict]]:
-    """Walk a Receiver's FIR stages and collect per-block cost dicts.
+def _ew(n_streams: float, n: int, const_streams: float = 0.0,
+        channels: int = 1) -> dict:
+    """Elementwise-chain cost: ``n_streams`` f32 arrays of length ``n``
+    read or written at HBM, plus ``const_streams`` whose source is a
+    per-dispatch CONSTANT shared by every channel (trig/angle tables —
+    amortized over the channel batch; they already scale with blocks, so
+    only the channel factor divides). FLOPs are negligible next to the
+    byte traffic (VPU elementwise at these sizes is memory-bound)."""
+    return {"kind": "elementwise", "flops": 0,
+            "bytes": int(4 * n * (n_streams + const_streams / channels)),
+            "w_bytes": 0, "dims": (0, 0, 0)}
 
-    Single channel, one block; segment mode and channel banks scale these
-    linearly (same per-sample work). Stages that share one frame matrix
-    (the IF-bank BPF triple, each sync's complex FIR pair) are merged so
-    their common input is charged once."""
+
+def stage_costs(rx, channels: int = 1) -> list[tuple[str, dict]]:
+    """Walk a Receiver's stages and collect per-block cost dicts.
+
+    Per channel, per block; segment mode and channel banks scale the
+    signal-proportional terms linearly (same per-sample work), while
+    "w_bytes" (weights) and table constants stream once per dispatch —
+    ``speed_of_light_report(rx, channels=, blocks=)`` amortizes them.
+    Stages that share one frame matrix (the IF-bank BPF triple, each
+    sync's complex FIR pair) are merged so their common input is charged
+    once. Beyond the FIR matmuls the model charges the ELEMENTWISE
+    chains' HBM traffic (sync epilogues, mixes, matrixing, the RDS
+    decode tail): each fused elementwise kernel reads its materialized
+    inputs and writes its stage-boundary output once — counts below are
+    stream tallies of the shipping graph (trace-calibrated, BENCH_NOTES
+    r5)."""
     cfg = rx.cfg
     out = [("frontend.rf(u8)", rx.frontend.rf_fir.cost(2 * cfg.block_size_iq))]
     n_if = cfg.if_block
