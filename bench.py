@@ -491,7 +491,8 @@ def main() -> None:
 
     if args.stats and _result is not None:
         from real_time_sdr_tpu.utils.logging import speed_of_light_report
-        speed_of_light_report(rx, file=sys.stderr)
+        speed_of_light_report(rx, file=sys.stderr,
+                              channels=n_ch, blocks=n_blk)
         # per-mode ceilings from the same cost() plumbing (static math, no
         # compiles) — so a low non-flagship x-realtime number can be judged
         # against ITS OWN floor (modes 1/3 carry less signal per block;
@@ -504,7 +505,8 @@ def main() -> None:
                 rxm = rx if m == args.mode else Receiver(
                     m, stereo=True, rds=not args.no_rds,
                     pll_tier=args.pll_tier)
-                sol = speed_of_light_report(rxm, file=devnull)
+                sol = speed_of_light_report(rxm, file=devnull,
+                                            channels=n_ch, blocks=n_blk)
                 print(f"#   mode {m}: floor {sol['floor_s']*1e6:6.2f} "
                       f"us/block -> ceiling {sol['ceiling_x']:,.0f}x "
                       f"realtime/channel", file=sys.stderr)

@@ -50,7 +50,8 @@ def main() -> None:
         cfg = rx.cfg
         budget = cfg.block_size_iq / cfg.rf_fs
         with open(os.devnull, "w") as devnull:
-            sol = speed_of_light_report(rx, file=devnull)
+            sol = speed_of_light_report(rx, file=devnull,
+                                        channels=n_ch, blocks=n_blk)
         n_len = n_blk * 2 * cfg.block_size_iq
         iq, _ = synth.station_iq(cfg, n_blk)
         st = rx.init_state(batch=(n_ch,))

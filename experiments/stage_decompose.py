@@ -83,7 +83,14 @@ def main() -> None:
             reps = min(4096, max(reps * 2, int(
                 reps * 1.3 * args.min_measure / max(dt, 1e-3))))
         us_blk_ch = per_run / (n_ch * n_blk) * 1e6
-        floor_us = sum(c["bytes"] for _, c in stage_costs(rx)) / HBM_GBPS / 1e3
+        # amortize weight streams over the dispatch (see
+        # utils/logging.speed_of_light_report): XLA einsum weights divide
+        # by ch*blk, the per-channel Mosaic frontend kernel's by blk
+        floor_us = sum(
+            c["bytes"] - c.get("w_bytes", 0)
+            + c.get("w_bytes", 0) / (n_blk if c["kind"].startswith(
+                "fused_u8") else n_ch * n_blk)
+            for _, c in stage_costs(rx, channels=n_ch)) / HBM_GBPS / 1e3
         results[name] = {
             "per_run_ms": round(per_run * 1e3, 3),
             "us_per_blk_ch": round(us_blk_ch, 3),
