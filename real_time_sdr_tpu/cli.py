@@ -454,9 +454,9 @@ def main(argv=None) -> int:
         # per call); a mid-stream compile would back up a live source
         n2_w = max(1, args.segment) * block_bytes
         if use_staged:
-            silent = jnp.asarray(rx.frontend.stage_segment(
+            silent = jax.device_put(rx.frontend.stage_segment_full(
                 np.full((rx.frontend.rf_fir.tail_len,), 128, np.uint8),
-                np.full((n2_w,), 128, np.uint8), rows=True))
+                np.full((n2_w,), 128, np.uint8)))
             _, wout = rx.jit_run_segment_staged(state, silent, n2_w)
         else:
             silent = jnp.full((n2_w,), 128, jnp.uint8)
@@ -629,12 +629,13 @@ def main(argv=None) -> int:
             seg = np.concatenate(
                 [seg, np.full(pad_blocks * block_bytes, 128, np.uint8)])
         if use_staged:
-            # pre-shaped int8 rows form: zero device-side prep (the flat
-            # u8 form pays a bitcast kernel + re-tiling copy on device)
-            xp = rx.frontend.stage_segment(prev_tail, seg, rows=True)
+            # (rows, bnd, tail) triple: zero device-side prep AND the
+            # Mosaic kernel stays the big operand's only consumer (no
+            # whole-operand relayout copy — stage_segment_full)
+            xp = rx.frontend.stage_segment_full(prev_tail, seg)
             prev_tail = seg[-prev_tail.shape[-1]:].copy()
             state, out = rx.jit_run_segment_staged(
-                state, jnp.asarray(xp), seg.shape[-1])  # async dispatch
+                state, jax.device_put(xp), seg.shape[-1])  # async dispatch
         else:
             state, out = rx.jit_step(state, jnp.asarray(seg))  # async
         n_disp += g              # (jit caches one graph per segment shape)

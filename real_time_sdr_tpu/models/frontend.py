@@ -102,13 +102,23 @@ class Frontend:
         return self.rf_fir.stage_segment(prev_tail_u8, seg_u8, out=out,
                                          rows=rows)
 
-    def call_staged(self, xp_u8: jax.Array, n2: int, state: FrontendState):
+    def stage_segment_full(self, prev_tail_u8, seg_u8, out=None):
+        """ROWS-form staging + the small (bnd, tail) auxiliary operands
+        that keep the Mosaic kernel the big operand's ONLY consumer (no
+        whole-operand relayout copy — FusedFrontendFIR.stage_segment_full
+        has the measured numbers). Returns (rows, bnd, tail)."""
+        return self.rf_fir.stage_segment_full(prev_tail_u8, seg_u8,
+                                              out=out)
+
+    def call_staged(self, xp_u8: jax.Array, n2: int, state: FrontendState,
+                    aux=None):
         """Staged twin of ``__call__``: xp_u8 (..., staged_len(n2)) carries
         the tail+pad already (host ingest), so the device-side staging
         copies never run. ``state.iq_tail`` is ignored on entry (the staged
         bytes embed the tail) but the returned state is fully consistent —
         staged and unstaged calls interleave freely (bit-identical;
-        tests/test_pallas_frontend.py)."""
+        tests/test_pallas_frontend.py). ``aux``: (bnd, tail) from
+        ``stage_segment_full``."""
         demod, iq_tail, prev_i, prev_q = self.rf_fir.call_staged(
-            xp_u8, n2, state.prev_i, state.prev_q)
+            xp_u8, n2, state.prev_i, state.prev_q, aux=aux)
         return demod, FrontendState(iq_tail, prev_i, prev_q)

@@ -179,12 +179,19 @@ class Receiver:
         BENCH_NOTES mode-0/2 attribution). ``n2`` is static (the segment
         byte length). The operand may also be the pre-shaped
         (rows_total, stride) int8 rows form (``stage_segment(rows=True)``
-        — zero device-side prep at all). The returned state is fully
+        — zero device-side prep at all), or the (rows, bnd, tail) triple
+        from ``stage_segment_full`` (zero prep AND no whole-operand
+        relayout — the serving default). The returned state is fully
         consistent, so staged and unstaged calls interleave freely."""
+        aux = None
+        if isinstance(xp_u8, (tuple, list)):
+            xp_u8, bnd, tail_b = xp_u8
+            aux = (bnd, tail_b)
         self._check_batch(xp_u8,
                           2 if xp_u8.dtype == jnp.int8 else 1)
         demod, f_state = self.frontend.call_staged(xp_u8, n2,
-                                                   state.frontend)
+                                                   state.frontend,
+                                                   aux=aux)
         return self._post_frontend(demod, f_state, state)
 
     def jit_run_segment_staged(self, state: ReceiverState, xp_u8: jax.Array,

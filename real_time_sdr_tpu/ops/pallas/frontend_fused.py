@@ -228,6 +228,35 @@ class FusedFrontendFIR:
                 "w_bytes": 2 * 2 * self.jp * 2 * self.g,
                 "dims": (nbf * tf, self.jp, 2 * self.g)}
 
+    def _flat_window(self, rows2: jax.Array, off: int, ln: int):
+        """``flat[off:off+ln]`` read from the (..., rows_total, stride)
+        ROWS operand via at most two static row slices + concat.
+
+        NEVER slice the flat ``reshape`` of the rows operand instead: the
+        1-D and 2-D int8 tilings differ, so ANY consumer of the flat view
+        makes XLA relayout-copy the WHOLE staged operand (59 MB,
+        ~85 us/run at mode-0 32x12 — HLO copy.113, the largest single
+        relayout in the round-5 trace) just to serve a 400-byte window."""
+        r0, c0 = divmod(int(off), self.stride)
+        if c0 + ln <= self.stride:
+            return jax.lax.slice_in_dim(
+                rows2[..., r0, :], c0, c0 + ln, axis=-1)
+        head = jax.lax.slice_in_dim(rows2[..., r0, :], c0, self.stride,
+                                    axis=-1)
+        rest = ln - (self.stride - c0)
+        tail = jax.lax.slice_in_dim(rows2[..., r0 + 1, :], 0, rest,
+                                    axis=-1)
+        return jnp.concatenate([head, tail], axis=-1)
+
+    def _window_dots(self, w: jax.Array) -> jax.Array:
+        """Raw int8-reinterpreted byte windows (..., f, k2) -> decimated
+        (I, Q) pairs (..., f, 2). The sign-select is the int8-reinterpret
+        normalization (see _kernel)."""
+        w = w.astype(jnp.float32)
+        w = jnp.where(w >= 0, w - 128.0, w + 128.0)
+        return jnp.einsum("...fj,jr->...fr", w, jnp.asarray(self._v),
+                          precision=jax.lax.Precision.HIGHEST)
+
     def _boundary_dots(self, xf: jax.Array, ms) -> jax.Array:
         """Decimated (I[m], Q[m]) for output indices ``ms`` via tiny dots
         over the raw byte windows — (..., len(ms), 2).
@@ -236,16 +265,20 @@ class FusedFrontendFIR:
         not a gather: jnp.take with per-channel-equal indices made XLA's
         layout assignment flip the whole staging chain to a channel-minor
         layout (three transposing copies of the 40+ MB stream on mode 1 —
-        measured). The sign-select is the int8-reinterpret normalization
-        (see _kernel)."""
+        measured)."""
         k2 = 2 * self.num_taps
         w = jnp.stack(
             [jax.lax.slice_in_dim(xf, int(2 * m * self.down),
                                   int(2 * m * self.down) + k2, axis=-1)
-             for m in ms], axis=-2).astype(jnp.float32)
-        w = jnp.where(w >= 0, w - 128.0, w + 128.0)
-        return jnp.einsum("...fj,jr->...fr", w, jnp.asarray(self._v),
-                          precision=jax.lax.Precision.HIGHEST)
+             for m in ms], axis=-2)
+        return self._window_dots(w)
+
+    def _boundary_dots_rows(self, rows2: jax.Array, ms) -> jax.Array:
+        """Rows-form twin of ``_boundary_dots`` (see _flat_window)."""
+        k2 = 2 * self.num_taps
+        w = jnp.stack([self._flat_window(rows2, 2 * m * self.down, k2)
+                       for m in ms], axis=-2)
+        return self._window_dots(w)
 
     def _boundary_sample(self, xf: jax.Array, m: int):
         """Decimated (I[m], Q[m]) — the carried discriminator state."""
@@ -288,26 +321,65 @@ class FusedFrontendFIR:
                     .reshape(shape[:-1] + (rows_total, self.stride)))
         return out
 
+    def stage_segment_full(self, prev_tail_u8, seg_u8, out=None):
+        """ROWS-form staging PLUS the small auxiliary operands: returns
+        ``(rows, bnd, tail)`` where ``bnd`` (..., nbf, 2K) int8 holds the
+        raw boundary byte windows (the nbf-1 inter-tile predecessors and
+        the final n_out-1 sample window) and ``tail`` (..., 2K-2) uint8
+        is the next segment's tail bytes.
+
+        Why: with the big operand consumed ONLY by the Mosaic kernel, XLA
+        leaves it in the uploaded layout. Any other consumer — even a
+        400-byte slice for a boundary window or the tail — makes layout
+        assignment relayout-copy the ENTIRE 59 MB operand (HLO copy.113/
+        copy.169, ~85 us/run at mode-0 32x12: the largest single
+        relayout in the round-5 trace). The windows are views of bytes
+        the host just wrote, so staging them separately costs ~nothing
+        and the device math on them is unchanged (bit-exact vs the
+        unstaged path)."""
+        staged = self.stage_segment(prev_tail_u8, seg_u8, out=out)
+        n2 = np.asarray(seg_u8).shape[-1]
+        n_out, c_frames, tf, nbf, rows_total = self._plan(n2)
+        k2 = 2 * self.num_taps
+        ms = [int(m * tf * self.g - 1) for m in range(1, nbf)] \
+            + [n_out - 1]
+        bnd = np.stack([staged[..., 2 * m * self.down:
+                               2 * m * self.down + k2] for m in ms],
+                       axis=-2).view(np.int8)
+        tail = staged[..., n2:n2 + self.tail_len]
+        rows2 = (staged.view(np.int8)
+                 .reshape(staged.shape[:-1] + (rows_total, self.stride)))
+        return rows2, np.ascontiguousarray(bnd), np.ascontiguousarray(tail)
+
     def call_staged(self, xp_u8: jax.Array, n2: int,
-                    prev_i: jax.Array, prev_q: jax.Array):
+                    prev_i: jax.Array, prev_q: jax.Array, aux=None):
         """xp_u8: host-staged operand (stage_segment) — either the flat
         (..., staged_len(n2)) uint8 form or the pre-shaped
-        (..., rows_total, stride) int8 rows form (``rows=True``).
+        (..., rows_total, stride) int8 rows form (``rows=True`` /
+        ``stage_segment_full``).
 
-        Same results as ``__call__`` bit-for-bit (the new tail is sliced
-        out of the staged bytes), with zero device-side staging copies
-        (and, for the rows form, zero device-side prep at all)."""
+        ``aux``: the (bnd, tail) small operands from
+        ``stage_segment_full`` — with them the Mosaic kernel is the ONLY
+        consumer of the big rows operand, so XLA never relayout-copies it
+        (see stage_segment_full). Same results as ``__call__``
+        bit-for-bit in every form (the boundary dots run the identical
+        device einsum on the identical bytes)."""
         rows_total = self._plan(n2)[4]
         if xp_u8.dtype == jnp.int8:
             assert xp_u8.shape[-2:] == (rows_total, self.stride), \
                 (xp_u8.shape, rows_total, self.stride)
             rows = barrier(xp_u8, "frontend")
-            flat = rows.reshape(rows.shape[:-2] + (-1,))
-            # tail as uint8 (the state contract): tiny slice, the
-            # reshape fuses into it
+            if aux is not None:
+                bnd_w, tail_b = aux
+                demod, new_prev = self._dispatch_rows(
+                    rows, None, n2, prev_i, prev_q, bnd_windows=bnd_w)
+                return (demod, tail_b, new_prev[..., 0], new_prev[..., 1])
+            # tail as uint8 (the state contract): tiny ROWS-form window
+            # (slicing a flat reshape instead would relayout-copy the
+            # whole operand — see _flat_window)
             new_tail = jax.lax.bitcast_convert_type(
-                flat[..., n2:n2 + self.tail_len], jnp.uint8)
-            demod, new_prev = self._dispatch_rows(rows, flat, n2,
+                self._flat_window(rows, n2, self.tail_len), jnp.uint8)
+            demod, new_prev = self._dispatch_rows(rows, None, n2,
                                                   prev_i, prev_q)
             return demod, new_tail, new_prev[..., 0], new_prev[..., 1]
         new_tail = xp_u8[..., n2:n2 + self.tail_len]
@@ -349,10 +421,15 @@ class FusedFrontendFIR:
         rows = xf.reshape(xf.shape[:-1] + (rows_total, self.stride))
         return self._dispatch_rows(rows, xf, n2, prev_i, prev_q)
 
-    def _dispatch_rows(self, rows: jax.Array, xf: jax.Array, n2: int,
-                       prev_i: jax.Array, prev_q: jax.Array):
+    def _dispatch_rows(self, rows: jax.Array, xf, n2: int,
+                       prev_i: jax.Array, prev_q: jax.Array,
+                       bnd_windows=None):
         """Kernel dispatch on the (..., rows_total, stride) int8 operand;
-        ``xf`` is its flat view (boundary-sample byte windows)."""
+        ``xf`` is its flat view when THAT is the primary layout (the
+        unstaged path), or None for the rows-form staged path.
+        ``bnd_windows``: host-staged (..., nbf, 2K) int8 boundary byte
+        windows (stage_segment_full) — without them the windows are
+        sliced from the big operand, which relayout-copies it whole."""
         n_out, c_frames, tf, nbf, rows_total = self._plan(n2)
 
         # only each TILE's first frame needs an external predecessor (the
@@ -361,9 +438,17 @@ class FusedFrontendFIR:
         # byte windows (one small gather+einsum — nbf ~ n_out/8192, three
         # orders of magnitude less traffic than per-frame windows); tile 0
         # uses the carried (prev_i, prev_q) state
-        if nbf > 1:
+        new_prev_pre = None
+        if bnd_windows is not None:
+            dots = self._window_dots(bnd_windows)      # (..., nbf, 2)
+            first = jnp.stack([prev_i, prev_q], axis=-1)[..., None, :]
+            bnd = jnp.concatenate([first, dots[..., :nbf - 1, :]],
+                                  axis=-2)             # (..., nbf, 2)
+            new_prev_pre = dots[..., nbf - 1, :]
+        elif nbf > 1:
             m_bnd = (np.arange(1, nbf) * tf * self.g - 1)
-            bnd = self._boundary_dots(xf, m_bnd)
+            bnd = (self._boundary_dots(xf, m_bnd) if xf is not None
+                   else self._boundary_dots_rows(rows, m_bnd))
             first = jnp.stack([prev_i, prev_q], axis=-1)[..., None, :]
             bnd = jnp.concatenate([first, bnd], axis=-2)  # (..., nbf, 2)
         else:
@@ -371,7 +456,7 @@ class FusedFrontendFIR:
         pi_arr = bnd[..., 0:1]
         pq_arr = bnd[..., 1:2]
 
-        batch = xf.shape[:-1]
+        batch = rows.shape[:-2]
         tf_blocks = tf // 32
         kern = functools.partial(_kernel, tf=tf, g=self.g,
                                  stride=self.stride, jp=self.jp,
@@ -405,5 +490,11 @@ class FusedFrontendFIR:
         out = fn(rows, rows, jnp.asarray(self._w_hi),
                  jnp.asarray(self._w_lo), pi_arr, pq_arr)
         demod = out.reshape(batch + (nbf * tf * self.g,))[..., :n_out]
-        new_prev = self._boundary_sample(xf, n_out - 1)
+        if new_prev_pre is not None:
+            new_prev = new_prev_pre
+        else:
+            new_prev = (self._boundary_sample(xf, n_out - 1)
+                        if xf is not None
+                        else self._boundary_dots_rows(
+                            rows, [n_out - 1])[..., 0, :])
         return demod, new_prev

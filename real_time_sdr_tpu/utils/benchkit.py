@@ -120,6 +120,6 @@ def stage_cells(rx, per_ch_host, n_g: int, g: int, n_chunks: int,
             kp = (k - 1) % n_chunks  # steady-state cyclic replay tail
             tail = rows[:, (kp + 1) * chunk_len - tl:(kp + 1) * chunk_len]
             col.append(jax.device_put(
-                rx.frontend.stage_segment(tail, seg, rows=True)))
+                rx.frontend.stage_segment_full(tail, seg)))
         cells.append(col)
     return cells

@@ -127,12 +127,13 @@ def test_frontend_impl_interchange():
 
 
 @pytest.mark.parametrize("mode", [0, 2])
-@pytest.mark.parametrize("rows", [False, True])
+@pytest.mark.parametrize("rows", [False, True, "full"])
 def test_staged_segment_bit_exact(mode, rows):
     """run_segment_staged over a HOST-staged operand must be BIT-identical
     to run_segment on the raw segment, across chained segments and when
     staged/unstaged calls interleave (the state contract is shared) — in
-    both operand forms (flat uint8 and pre-shaped int8 rows)."""
+    all three operand forms (flat uint8, pre-shaped int8 rows, and the
+    (rows, bnd, tail) triple of stage_segment_full)."""
     from real_time_sdr_tpu.models.receiver import Receiver
 
     rx = Receiver(mode, stereo=True, rds=True, pll_tier=3,
@@ -149,6 +150,13 @@ def test_staged_segment_bit_exact(mode, rows):
         if k == 1:
             # interleave: middle segment goes UNstaged through path B too
             s_b, out_b = rx.run_segment(s_b, jnp.asarray(seg))
+        elif rows == "full":
+            xp = rx.frontend.stage_segment_full(tail, seg)
+            assert xp[0].dtype == np.int8 and xp[0].ndim == 2
+            assert xp[1].dtype == np.int8 and xp[1].ndim == 2
+            assert xp[2].dtype == np.uint8
+            s_b, out_b = rx.run_segment_staged(
+                s_b, jax.device_put(xp), n2)
         else:
             xp = rx.frontend.stage_segment(tail, seg, rows=rows)
             if rows:
