@@ -53,6 +53,21 @@ __all__ = ["FusedFrontendFIR"]
 _G = 64  # outputs per frame: 2*G = one 128-lane column block (I | Q)
 # A/B hook: split-matmul frame form (see _kernel). Measured on v5e.
 _SPLIT = os.environ.get("RTSDR_FRONTEND_SPLIT", "0") == "1"
+# A/B hook: int8x2 split-tap matmuls (int8 frames x int8 weight limbs ->
+# int32, scales folded in f32 on the small output). The MXU rate is the
+# same as bf16 (measured 2026-08-20, BENCH_NOTES int8 probe) — the win
+# is skipping the int8->bf16 FRAME cast, the largest VPU cost per grid
+# step (the frame buffer is 12x the output). Tap precision drops from
+# the exact bf16-hi+lo split to a 15-bit integer split (~90 dB — above
+# every chain gate but not bit-identical), hence opt-in until measured.
+# MEASURED (CPU interpret): ~56 dB after the discriminator — BELOW the
+# 60 dB chain gate; stays opt-in, kept only as a future wide-N pairing.
+_INT8 = os.environ.get("RTSDR_FRONTEND_INT8", "0") == "1"
+# WIDE form: hi|lo limbs as columns of ONE (jp, 4g) matmul (N=256, two
+# lane tiles streaming through the MXU) instead of two N=128 passes —
+# bit-identical math (see _kernel). RTSDR_FRONTEND_WIDE=0 restores the
+# two-pass form.
+_WIDE = os.environ.get("RTSDR_FRONTEND_WIDE", "1") == "1"
 # predecessor extraction: lane ROLL (default; exact, no MXU) vs the old
 # f32-HIGHEST selector matmuls (RTSDR_FRONTEND_PRED=dot restores)
 _PRED_ROLL = os.environ.get("RTSDR_FRONTEND_PRED", "roll") != "dot"
@@ -63,7 +78,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(a_ref, b_ref, whi_ref, wlo_ref, pi_ref, pq_ref, o_ref, *,
-            tf, g, stride, jp, s_over):
+            tf, g, stride, jp, s_over, int8_scales=None, wide=False):
     a = a_ref[:]                      # (tf, stride) int8 = raw bytes,
     b = b_ref[:]                      # (32, stride)   bit-reinterpreted
     # Normalize IN-KERNEL: the operand is the raw byte x reinterpreted as
@@ -101,11 +116,41 @@ def _kernel(a_ref, b_ref, whi_ref, wlo_ref, pi_ref, pq_ref, o_ref, *,
             take = min(stride, jp - s * stride)
             parts.append(rows_s[:, :take])
         v = jnp.concatenate(parts, axis=-1)
-        frames = (v ^ jnp.int8(-128)).astype(jnp.bfloat16)
-        y = (jnp.dot(frames, whi_ref[:],
-                     preferred_element_type=jnp.float32)
-             + jnp.dot(frames, wlo_ref[:],
-                       preferred_element_type=jnp.float32))
+        if int8_scales is not None:
+            # int8x2: frames stay int8 (xor only — no frame-sized cast);
+            # exact int8 x int8 -> int32 MXU passes, the 15-bit integer
+            # tap split recombined in f32 on the (tf, 2g) output (both
+            # partial sums are < 2^24, so the int32->f32 casts are
+            # exact; see _INT8)
+            c1, c2 = int8_scales
+            vx = v ^ jnp.int8(-128)
+            if wide:
+                yw = jnp.dot(vx, whi_ref[:],
+                             preferred_element_type=jnp.int32)
+                y1, y2 = yw[:, :2 * g], yw[:, 2 * g:]
+            else:
+                y1 = jnp.dot(vx, whi_ref[:],
+                             preferred_element_type=jnp.int32)
+                y2 = jnp.dot(vx, wlo_ref[:],
+                             preferred_element_type=jnp.int32)
+            y = (y1.astype(jnp.float32) * c1
+                 + y2.astype(jnp.float32) * c2)
+        elif wide:
+            # WIDE form: hi and lo limbs as columns of ONE (jp, 4g)
+            # matmul — N doubles to 256 (two lane tiles streaming
+            # through the MXU instead of two separate N=128 passes),
+            # identical math bit-for-bit (each output column's dot is
+            # independent; the limb add is the same f32 add)
+            frames = (v ^ jnp.int8(-128)).astype(jnp.bfloat16)
+            yw = jnp.dot(frames, whi_ref[:],
+                         preferred_element_type=jnp.float32)
+            y = yw[:, :2 * g] + yw[:, 2 * g:]
+        else:
+            frames = (v ^ jnp.int8(-128)).astype(jnp.bfloat16)
+            y = (jnp.dot(frames, whi_ref[:],
+                         preferred_element_type=jnp.float32)
+                 + jnp.dot(frames, wlo_ref[:],
+                           preferred_element_type=jnp.float32))
     i_sig, q_sig = y[:, :g], y[:, g:2 * g]
     # predecessor of in-frame column r is column r-1; column 0's
     # predecessor is the previous FRAME's last column — a sublane shift of
@@ -183,6 +228,17 @@ class FusedFrontendFIR:
         self._w_hi = ws.astype(jnp.bfloat16)
         self._w_lo = (ws - np.asarray(self._w_hi, np.float32)).astype(
             jnp.bfloat16)
+        # int8x2 limbs (RTSDR_FRONTEND_INT8): W15 = round(ws * 2^e) with
+        # |W15| < 2^14, split W15 = hi*128 + lo; both limbs int8, both
+        # partial dot sums exactly representable in f32 (see _kernel)
+        e = int(np.floor(np.log2((2 ** 14 - 1) / np.abs(ws).max())))
+        w15 = np.round(ws * float(2 ** e)).astype(np.int32)
+        q_hi = np.floor_divide(w15, 128)
+        q_lo = w15 - q_hi * 128
+        assert q_hi.min() >= -128 and q_hi.max() <= 127
+        self._wq_hi = q_hi.astype(np.int8)
+        self._wq_lo = q_lo.astype(np.int8)
+        self._wq_scales = (float(128.0 / 2 ** e), float(1.0 / 2 ** e))
         # boundary-sample window weights: (2K, 2) f32, /128 folded
         v = np.zeros((2 * K, 2), dtype=np.float64)
         for k in range(K):
@@ -458,9 +514,21 @@ class FusedFrontendFIR:
 
         batch = rows.shape[:-2]
         tf_blocks = tf // 32
-        kern = functools.partial(_kernel, tf=tf, g=self.g,
-                                 stride=self.stride, jp=self.jp,
-                                 s_over=self.s_over)
+        wide = _WIDE and not _SPLIT
+        assert not (_INT8 and _SPLIT), \
+            "RTSDR_FRONTEND_INT8 and RTSDR_FRONTEND_SPLIT are exclusive"
+        kern = functools.partial(
+            _kernel, tf=tf, g=self.g, stride=self.stride, jp=self.jp,
+            s_over=self.s_over,
+            int8_scales=self._wq_scales if _INT8 else None, wide=wide)
+        w_hi, w_lo = ((self._wq_hi, self._wq_lo) if _INT8
+                      else (self._w_hi, self._w_lo))
+        if wide:
+            # one (jp, 4g) weight operand [hi | lo]; the wlo slot shrinks
+            # to a minimal dummy block (the kernel never reads it)
+            w_hi = np.concatenate([np.asarray(w_hi), np.asarray(w_lo)],
+                                  axis=1)
+            w_lo = np.zeros((8, 128), dtype=np.asarray(w_hi).dtype)
         call = pl.pallas_call(
             kern,
             out_shape=jax.ShapeDtypeStruct((nbf * tf, self.g), jnp.float32),
@@ -471,10 +539,12 @@ class FusedFrontendFIR:
                 pl.BlockSpec((32, self.stride),
                              lambda fi, _t=tf_blocks: ((fi + 1) * _t, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((self.jp, 2 * self.g), lambda fi: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((self.jp, 2 * self.g), lambda fi: (0, 0),
-                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((self.jp, 4 * self.g) if wide
+                             else (self.jp, 2 * self.g),
+                             lambda fi: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, 128) if wide
+                             else (self.jp, 2 * self.g),
+                             lambda fi: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((nbf, 1), lambda fi: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((nbf, 1), lambda fi: (0, 0),
@@ -487,8 +557,8 @@ class FusedFrontendFIR:
         fn = call
         for _ in batch:
             fn = jax.vmap(fn, in_axes=(0, 0, None, None, 0, 0))
-        out = fn(rows, rows, jnp.asarray(self._w_hi),
-                 jnp.asarray(self._w_lo), pi_arr, pq_arr)
+        out = fn(rows, rows, jnp.asarray(w_hi),
+                 jnp.asarray(w_lo), pi_arr, pq_arr)
         demod = out.reshape(batch + (nbf * tf * self.g,))[..., :n_out]
         if new_prev_pre is not None:
             new_prev = new_prev_pre
