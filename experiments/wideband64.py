@@ -53,6 +53,14 @@ def main() -> None:
     ap.add_argument("--decode-check", action="store_true",
                     help="also synthesize 3 real stations in the scene and "
                          "assert their PS decode (slow: host-side synth)")
+    ap.add_argument("--operand-weights", action="store_true",
+                    help="serve the fused fold weights as DEVICE OPERANDS "
+                         "(wf.device_weights) instead of jit constants — "
+                         "the runtime-retunable form; also the only form "
+                         "that scales past ~256 stations through the "
+                         "tunnel (constant-baked HLO at 512 stations "
+                         "exceeds the remote_compile upload limit, "
+                         "HTTP 413 — BENCH_NOTES r5)")
     args = ap.parse_args()
 
     import jax
@@ -111,10 +119,15 @@ def main() -> None:
     iw = jnp.asarray(rng.standard_normal((n,)).astype(np.float32) * 0.1)
     qw = jnp.asarray(rng.standard_normal((n,)).astype(np.float32) * 0.1)
 
-    def step(cstate, bstate, i, q):
+    wts = None
+    if args.operand_weights:
+        assert fused, "--operand-weights needs the fused frontend"
+        wts = ch.device_weights()
+
+    def step(cstate, bstate, i, q, w=None):
         if fused:
             bstate, out, cstate = bank.run_channelized_fused(
-                bstate, ch, i, q, cstate, group=16)
+                bstate, ch, i, q, cstate, group=16, weights=w)
         else:
             bstate, out, cstate = bank.run_channelized(
                 bstate, ch, i, q, cstate)
@@ -122,7 +135,9 @@ def main() -> None:
                 for o in jax.tree_util.tree_leaves(out)]
         return cstate, bstate, sum(sums)
 
-    jstep = jax.jit(step)
+    jstep_w = jax.jit(step)
+    jstep = ((lambda c, b, i, q: jstep_w(c, b, i, q, wts))
+             if wts is not None else jstep_w)
     cs, bs = ch.init_state(), rx.init_state(batch=(n_st,))
     t0 = time.perf_counter()
     c2, b2, dig = jstep(cs, bs, iw, qw)
@@ -155,7 +170,8 @@ def main() -> None:
             blks = min(args.seg, nb - s0)
             sl = slice(s0 * block_pairs, (s0 + blks) * block_pairs)
             bs, out, cs = bank.run_wideband_jit(
-                bs, ch, jnp.asarray(iw2[sl]), jnp.asarray(qw2[sl]), cs)
+                bs, ch, jnp.asarray(iw2[sl]), jnp.asarray(qw2[sl]), cs,
+                weights=wts)
             nbits = np.asarray(out.rds_nbits)
             bits = np.asarray(out.rds_bits)
             for k in picks:
