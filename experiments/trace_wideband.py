@@ -26,6 +26,9 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--trace-dir", default="/tmp/rtsdr_trace_wb")
+    ap.add_argument("--path", choices=("u8", "fused"), default="fused",
+                    help="which wideband frontend to trace (the fused "
+                         "one-matmul path is the serving default)")
     args = ap.parse_args()
 
     import jax
@@ -42,7 +45,12 @@ def main() -> None:
     wide_fs = 8 * cfg.rf_fs
     n_st = args.stations
     offs = [int((k - (n_st - 1) / 2) * 300_000) for k in range(n_st)]
-    ch = Channelizer(cfg, wide_fs, offs)
+    if args.path == "fused":
+        from real_time_sdr_tpu.models.wideband_frontend import (
+            FusedWidebandFrontend)
+        ch = FusedWidebandFrontend(cfg, wide_fs, offs)
+    else:
+        ch = Channelizer(cfg, wide_fs, offs)
     bank = ChannelBank(rx, n_st)
 
     block_pairs = cfg.block_size_iq * ch.decim
@@ -52,7 +60,12 @@ def main() -> None:
     qw = jnp.asarray(rng.standard_normal((n,)).astype(np.float32) * 0.1)
 
     def step(cstate, bstate, i, q):
-        bstate, out, cstate = bank.run_channelized(bstate, ch, i, q, cstate)
+        if args.path == "fused":
+            bstate, out, cstate = bank.run_channelized_fused(
+                bstate, ch, i, q, cstate, group=16)
+        else:
+            bstate, out, cstate = bank.run_channelized(bstate, ch, i, q,
+                                                       cstate)
         sums = [jnp.sum(o if o.dtype != jnp.int32 else o.astype(jnp.float32))
                 for o in jax.tree_util.tree_leaves(out)]
         return cstate, bstate, sum(sums)

@@ -280,14 +280,24 @@ class FusedWidebandFrontend:
                 "off-raster offsets")
         s_ch = len(self.offsets)
         a_cols, b_cols, pc_col, ps_col = self._station_cols(f)
+        # COPY-ON-WRITE, never mutate in place: jnp.asarray of a numpy
+        # array is zero-copy on CPU, so the previous _w/_pc_np buffers may
+        # be ALIASED by live device arrays (operand uploads still feeding
+        # in-flight dispatches) and by baked jit constants — an in-place
+        # column write would corrupt results already dispatched (observed
+        # as a flaky pre-retune segment showing the post-retune tone).
+        w = self._w.copy()
+        pc = self._pc_np.copy()
+        ps = self._ps_np.copy()
         for r in range(self.r_n):
             base = r * 2 * s_ch
-            self._w[:, base + station] = a_cols[:, r]
-            self._w[:, base + s_ch + station] = b_cols[:, r]
-        self._pc_np[:, station] = pc_col
-        self._ps_np[:, station] = ps_col
-        self._pc = jnp.asarray(self._pc_np)
-        self._ps = jnp.asarray(self._ps_np)
+            w[:, base + station] = a_cols[:, r]
+            w[:, base + s_ch + station] = b_cols[:, r]
+        pc[:, station] = pc_col
+        ps[:, station] = ps_col
+        self._w, self._pc_np, self._ps_np = w, pc, ps
+        self._pc = jnp.asarray(pc)
+        self._ps = jnp.asarray(ps)
         self.offsets[station] = f
         self._dev_weights = None   # re-upload on next device_weights()
 
