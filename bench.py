@@ -491,8 +491,12 @@ def main() -> None:
 
     if args.stats and _result is not None:
         from real_time_sdr_tpu.utils.logging import speed_of_light_report
+        # amortize over the DISPATCH CELL (host-cell group x tile), not
+        # the rung totals: wide/long rungs serve as chained g x tile
+        # cells, so weights stream once per cell, not once per rung
+        cell_ch, cell_blk = g, n_blk // n_chunks
         speed_of_light_report(rx, file=sys.stderr,
-                              channels=n_ch, blocks=n_blk)
+                              channels=cell_ch, blocks=cell_blk)
         # per-mode ceilings from the same cost() plumbing (static math, no
         # compiles) — so a low non-flagship x-realtime number can be judged
         # against ITS OWN floor (modes 1/3 carry less signal per block;
@@ -506,7 +510,8 @@ def main() -> None:
                     m, stereo=True, rds=not args.no_rds,
                     pll_tier=args.pll_tier)
                 sol = speed_of_light_report(rxm, file=devnull,
-                                            channels=n_ch, blocks=n_blk)
+                                            channels=cell_ch,
+                                            blocks=cell_blk)
                 print(f"#   mode {m}: floor {sol['floor_s']*1e6:6.2f} "
                       f"us/block -> ceiling {sol['ceiling_x']:,.0f}x "
                       f"realtime/channel", file=sys.stderr)

@@ -68,9 +68,11 @@ def main() -> None:
                                                 weights=weights)
         np.asarray(out.rds_nbits)[:4]
         per = (time.perf_counter() - t0) / args.reps
-        print(f"# {label}: {per*1e3:.2f} ms/run "
-              f"({args.seg * cfg.block_size_iq / cfg.rf_fs / per * args.seg:.0f}"
-              f"... {n / wide_fs / per:.1f}x realtime)", file=sys.stderr)
+        agg = (args.stations * args.seg * cfg.block_size_iq
+               / cfg.rf_fs / per)
+        print(f"# {label}: {per*1e3:.2f} ms/run ({agg:.0f}x aggregate "
+              f"station realtime, {n / wide_fs / per:.1f}x wideband)",
+              file=sys.stderr)
         return bs, ws, per
 
     measure(None, f"{n_st} st, jit-constant weights")

@@ -373,7 +373,11 @@ def run_wideband(args, rx, cfg) -> int:
         state_util.save_state(args.checkpoint, (cstate, bstate))
         if framers is not None:
             _atomic_json(args.checkpoint + ".rds.json",
-                         {"kind": "wideband", "stations": offsets,
+                         # ch.offsets, not the parsed --stations list:
+                         # --retune re-points stations mid-stream and the
+                         # sidecar must describe the grid the saved state
+                         # was actually built on
+                         {"kind": "wideband", "stations": list(ch.offsets),
                           "framers": [fr.state_dict() for fr in framers]})
         print(f"saved state to {args.checkpoint}", file=sys.stderr)
     if args.stats and n_blocks:

@@ -269,6 +269,11 @@ class FusedWidebandFrontend:
         The new offset must keep the grid's static-tone geometry: its
         IF-rate tone period must divide the constructed ``lo`` (true for
         any retune within the same raster the frontend was built on)."""
+        if not 0 <= station < len(self.offsets):
+            # no negative indexing: `base + station` arithmetic below
+            # would write another station's columns for r >= 1
+            raise ValueError(
+                f"station {station} out of range [0, {len(self.offsets)})")
         p, dt = self.wide_fs, self.dt
         f = int(offset_hz)
         fd = (f * dt) % p

@@ -187,6 +187,11 @@ class ChannelBank:
             FusedWidebandFrontend, u8_to_rails)
         if group is None:
             group = _default_wb_group()
+        if weights is not None and not isinstance(fe, FusedWidebandFrontend):
+            raise ValueError(
+                "operand weights (retunable serving) need the fused "
+                "wideband frontend; the two-stage Channelizer path bakes "
+                "its weights as jit constants")
         key = (id(fe), group, "u8", weights is not None)
         fn = self._chan_jit_cache.get(key)
         if fn is None:
@@ -216,6 +221,11 @@ class ChannelBank:
             return self.run_channelized_fused_jit(state, fe, i_wide,
                                                   q_wide, festate,
                                                   weights=weights)
+        if weights is not None:
+            raise ValueError(
+                "operand weights (retunable serving) need the fused "
+                "wideband frontend; the two-stage Channelizer path bakes "
+                "its weights as jit constants")
         return self.run_channelized_jit(state, fe, i_wide, q_wide, festate)
 
     def run_segment_grouped(self, state, segments, group: int = 32):

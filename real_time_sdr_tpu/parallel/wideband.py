@@ -159,11 +159,24 @@ class ShardedFusedWideband:
         self.axis = axis
         self._sh_ch = NamedSharding(mesh, P(axis))
         self._sh_rep = NamedSharding(mesh, P())
-        # weights station-major on the LAST axis of a (2J, R, 2, S) view:
-        # the shard-local reshape back to (2J, R*2*S_local) is exactly the
-        # unsharded column layout with s_ch -> S_local
-        self._w4 = wf._w.reshape(2 * wf.j_w, wf.r_n, 2, s_ch)
+        self._w_src = None   # identity token: wf.retune swaps wf._w
         self._jit = jax.jit(self._step)
+
+    def _weights(self):
+        """Current fold weights as DEVICE OPERANDS, station-major on the
+        LAST axis of a (2J, R, 2, S) view (the shard-local reshape back
+        to (2J, R*2*S_local) is exactly the unsharded column layout with
+        s_ch -> S_local). Re-uploaded when ``wf.retune`` swapped the
+        host matrix (retune is copy-on-write, so object identity is the
+        staleness token) — weights are jit ARGUMENTS here, never baked
+        constants, so a retune propagates without retracing."""
+        wf = self.wf
+        if self._w_src is not wf._w:
+            s_ch = len(wf.offsets)
+            self._w_src = wf._w
+            self._w4 = jnp.asarray(
+                wf._w.reshape(2 * wf.j_w, wf.r_n, 2, s_ch))
+        return self._w4, wf._pc, wf._ps
 
     def init_state(self):
         ws = self.wf.init_state()
@@ -186,7 +199,7 @@ class ShardedFusedWideband:
         return wf.core(w_l, pc_l, ps_l, i_tail, q_tail,
                        prev_i_l, prev_q_l, pos, i_wide, q_wide)
 
-    def _step(self, wstate, bstate, i_wide, q_wide):
+    def _step(self, wstate, bstate, i_wide, q_wide, w4, pc, ps):
         wf = self.wf
         ax = self.axis
         fe = jax.shard_map(
@@ -196,7 +209,7 @@ class ShardedFusedWideband:
             out_specs=(P(ax), P(ax), P(ax)),
             check_vma=False)
         demod, prev_i, prev_q = fe(
-            jnp.asarray(self._w4), wf._pc, wf._ps,
+            w4, pc, ps,
             wstate.i_tail, wstate.q_tail, wstate.prev_i, wstate.prev_q,
             wstate.pos, i_wide, q_wide)
         n_if = demod.shape[-1]
@@ -223,4 +236,5 @@ class ShardedFusedWideband:
         if not (isinstance(q_wide, jax.Array)
                 and q_wide.sharding == self._sh_rep):
             q_wide = self.replicate(q_wide)
-        return self._jit(wstate, bstate, i_wide, q_wide)
+        w4, pc, ps = self._weights()
+        return self._jit(wstate, bstate, i_wide, q_wide, w4, pc, ps)
