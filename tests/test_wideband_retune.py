@@ -83,6 +83,45 @@ def test_retune_identity_roundtrip():
     assert wf.offsets == [-600_000, 800_000]
 
 
+def test_sharded_retune_propagates():
+    """ShardedFusedWideband serves the fold weights as jit ARGUMENTS
+    (refreshed via wf._w object identity), so a retune must change its
+    output WITHOUT retracing — the round-5 review found the weights were
+    baked at __init__ and a retune propagated nowhere."""
+    from jax.sharding import Mesh
+    from real_time_sdr_tpu.parallel.wideband import ShardedFusedWideband
+
+    rx = Receiver(0, stereo=False, rds=False)
+    cfg = rx.cfg
+    wide_fs = 4 * cfg.rf_fs
+    n_st = 8
+    offs = [int((k - (n_st - 1) / 2) * 300_000) for k in range(n_st)]
+    wf = _mk(cfg, wide_fs, offs)
+    mesh = Mesh(np.array(jax.devices()), ("ch",))
+    sw = ShardedFusedWideband(wf, rx, mesh)
+    ws, bs = sw.init_state()
+
+    rng = np.random.default_rng(3)
+    n = cfg.block_size_iq * wf.decim
+    iw = rng.standard_normal(n).astype(np.float32) * 0.2
+    qw = rng.standard_normal(n).astype(np.float32) * 0.2
+
+    ws1, bs1, out1 = sw.step(ws, bs, iw, qw)
+    a1 = np.asarray(out1.mono)
+    wf.retune(3, offs[3] + 600_000)
+    ws2, bs2, out2 = sw.step(ws, bs, iw, qw)   # same input, same state
+    a2 = np.asarray(out2.mono)
+    # retuned station's output changes; every other station's does not
+    assert not np.array_equal(a1[3], a2[3])
+    for k in range(n_st):
+        if k != 3:
+            np.testing.assert_array_equal(a1[k], a2[k])
+    # and retuning BACK restores the original output bit-for-bit
+    wf.retune(3, offs[3])
+    _, _, out3 = sw.step(ws, bs, iw, qw)
+    np.testing.assert_array_equal(a1, np.asarray(out3.mono))
+
+
 @pytest.mark.slow
 def test_retune_station_live_no_recompile():
     """Serve a 3-station sky with a 2-station grid, then retune station 1
