@@ -49,8 +49,15 @@ def estimate_psd(samples: jax.Array, fs: float, nfft: int = NFFT,
         spec = jnp.fft.fft(windowed, axis=-1)
     half = spec[..., : nfft // 2]
     psd = (jnp.abs(half) ** 2) * (2.0 / (fs * nfft / 2.0))
-    avg = jnp.mean(psd, axis=-2)
-    psd_db = 10.0 * jnp.log10(jnp.maximum(avg, 1e-30))
+    # the reference averages the PER-SEGMENT dB VALUES, not linear power
+    # (model/fmSupportLib.py:270-289 AND src/fourier.cpp:77-91 both
+    # convert each segment to dB first) — mean-of-logs sits ~2.5 dB below
+    # log-of-mean on noise bins, a divergence the round-5 cross-oracle
+    # caught (tests/test_reference_oracle.py::test_estimate_psd...); this
+    # framework had shipped linear averaging with a golden twin that
+    # repeated the same deviation.
+    psd_db_seg = 10.0 * jnp.log10(jnp.maximum(psd, 1e-30))
+    psd_db = jnp.mean(psd_db_seg, axis=-2)
     freqs = np.arange(nfft // 2) * fs / nfft
     return freqs, psd_db
 

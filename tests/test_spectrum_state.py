@@ -11,15 +11,19 @@ from real_time_sdr_tpu.utils import synth
 
 
 def golden_psd(samples, fs, nfft=512):
-    """Loop-level Bartlett PSD (model/fmSupportLib.py:214-289 semantics)."""
+    """Loop-level Bartlett PSD (model/fmSupportLib.py:214-289 semantics:
+    each segment converts to dB FIRST, then the dB values average — the
+    round-5 cross-oracle caught this twin silently averaging linear
+    power instead, the same deviation as the device path)."""
     n_seg = len(samples) // nfft
     window = np.sin(np.arange(nfft) * np.pi / nfft) ** 2
     acc = np.zeros(nfft // 2)
     for s in range(n_seg):
         seg = samples[s * nfft:(s + 1) * nfft] * window
         spec = np.fft.fft(seg)[: nfft // 2]
-        acc += (np.abs(spec) ** 2) * 2.0 / (fs * nfft / 2.0)
-    return 10 * np.log10(np.maximum(acc / n_seg, 1e-30))
+        psd = (np.abs(spec) ** 2) * 2.0 / (fs * nfft / 2.0)
+        acc += 10 * np.log10(np.maximum(psd, 1e-30))
+    return acc / n_seg
 
 
 def test_estimate_psd_matches_golden():
