@@ -126,6 +126,49 @@ def test_frontend_impl_interchange():
     assert _snr(np.asarray(dx2, np.float64), dp2) > 65.0
 
 
+def test_bench_staged_cells_match_plain_receiver():
+    """The bench's serving path — stage_cells building batched
+    (rows, bnd, tail) triples + the vmapped run_segment_staged — must be
+    BIT-identical per channel to the plain per-channel run_segment (this
+    is the exact program bench.py times; steady-state cyclic tails)."""
+    from real_time_sdr_tpu.models.receiver import Receiver
+    from real_time_sdr_tpu.utils import benchkit, synth
+
+    rx = Receiver(0, stereo=True, rds=True, pll_tier=3,
+                  frontend_impl="pallas_interpret")
+    cfg = rx.cfg
+    n_ch, n_blk = 3, 2
+    n_len = n_blk * 2 * cfg.block_size_iq
+    iq, _ = synth.station_iq(cfg, n_blk)
+    per_ch = benchkit.shifted_channel_segments_host(iq, n_ch, n_len)
+    cells = benchkit.stage_cells(rx, per_ch, 1, n_ch, 1, n_len)
+    cell = cells[0][0]
+    assert isinstance(cell, tuple) and len(cell) == 3
+
+    st = rx.init_state(batch=(n_ch,))
+    vstep = jax.vmap(lambda s, xp: rx.run_segment_staged(s, xp, n_len))
+    st2, out = vstep(st, cell)
+
+    for c in range(n_ch):
+        # the staged cell embeds the CYCLIC steady-state tail (the end of
+        # the same chunk); reproduce it through the plain receiver by
+        # seeding the frontend tail identically
+        s1 = rx.init_state()
+        tail = per_ch[c][-rx.frontend.rf_fir.tail_len:]
+        s1 = s1._replace(frontend=s1.frontend._replace(
+            iq_tail=jnp.asarray(tail)))
+        _, out_c = rx.run_segment(s1, jnp.asarray(per_ch[c]))
+        # vmapped vs single-channel XLA lowerings may differ at f32 ulp
+        # level (batched einsum tiling); decode DECISIONS must be exact
+        for la, lb in zip(jax.tree_util.tree_leaves(out_c),
+                          jax.tree_util.tree_leaves(out)):
+            a, b = np.asarray(la), np.asarray(lb)[c]
+            if a.dtype.kind in "iu":
+                np.testing.assert_array_equal(a, b)
+            else:
+                np.testing.assert_allclose(a, b, atol=1e-6)
+
+
 @pytest.mark.parametrize("mode", [0, 2])
 @pytest.mark.parametrize("rows", [False, True, "full"])
 def test_staged_segment_bit_exact(mode, rows):
