@@ -83,6 +83,49 @@ def test_retune_identity_roundtrip():
     assert wf.offsets == [-600_000, 800_000]
 
 
+def test_u8_ingest_operand_weights_match():
+    """run_wideband_u8_jit with operand weights (the live-serving retune
+    form) must match its constant-weights twin; the non-fused path must
+    reject weights with a clear error."""
+    from real_time_sdr_tpu.models.channelizer import Channelizer
+
+    rx = Receiver(0, stereo=False, rds=False)
+    cfg = rx.cfg
+    wide_fs = 4 * cfg.rf_fs
+    offs = [-600_000, 800_000]
+    wf = _mk(cfg, wide_fs, offs)
+    bank = ChannelBank(rx, n_channels=2)
+    # constant-envelope FM scene, NOT noise: the discriminator's num/den
+    # is ill-conditioned on noise (CLAUDE.md), amplifying cross-graph
+    # f32 fusion ulps past any honest tolerance
+    sky = [dict(offset_hz=-600_000, tone_left=400.0, tone_right=400.0),
+           dict(offset_hz=800_000, tone_left=900.0, tone_right=900.0)]
+    iw_f, qw_f, _ = synth.wideband_iq(cfg, wide_fs, sky, 2)
+    iq = np.empty(2 * len(iw_f))
+    iq[0::2], iq[1::2] = iw_f, qw_f
+    raw = jnp.asarray(np.clip(np.round(128 + 127 * iq), 0,
+                              255).astype(np.uint8))
+
+    bs_c, out_c, ws_c = bank.run_wideband_u8_jit(
+        bank.init_state(), wf, raw, wf.init_state())
+    bs_o, out_o, ws_o = bank.run_wideband_u8_jit(
+        bank.init_state(), wf, raw, wf.init_state(),
+        weights=wf.device_weights())
+    np.testing.assert_allclose(np.asarray(out_c.mono),
+                               np.asarray(out_o.mono), atol=2e-6)
+
+    ch = Channelizer(cfg, wide_fs, offs)
+    with pytest.raises(ValueError, match="fused"):
+        bank.run_wideband_u8_jit(bank.init_state(), ch, raw,
+                                 ch.init_state(),
+                                 weights=wf.device_weights())
+    iw = jnp.zeros(cfg.block_size_iq * wf.decim, jnp.float32)
+    with pytest.raises(ValueError, match="fused"):
+        bank.run_wideband_jit(bank.init_state(), ch, iw, iw,
+                              ch.init_state(),
+                              weights=wf.device_weights())
+
+
 def test_sharded_retune_propagates():
     """ShardedFusedWideband serves the fold weights as jit ARGUMENTS
     (refreshed via wf._w object identity), so a retune must change its
