@@ -68,6 +68,16 @@ _INT8 = os.environ.get("RTSDR_FRONTEND_INT8", "0") == "1"
 # bit-identical math (see _kernel). RTSDR_FRONTEND_WIDE=0 restores the
 # two-pass form.
 _WIDE = os.environ.get("RTSDR_FRONTEND_WIDE", "1") == "1"
+# BANDED form: split the g outputs into 32-wide r-groups; each group's
+# window only spans (31*dprime + 2K) rows of the jp-lane frame, so its
+# matmul is (tf, span)x(span, 128) with cols [I_hi|Q_hi|I_lo|Q_lo] — a
+# FULL output tile per group at a fraction of the K dim (mode 0: 896 vs
+# 1536 rows, 1.7x fewer MACs; the banded weight matrix is mostly zeros
+# outside each group's span). hi+lo recombine via two 0/1 selector dots
+# (exact f32 adds). Eligible when 32*dprime is lane-aligned (modes
+# 0/1/2; mode 3's dprime=6 is not) — falls back to wide otherwise.
+# ulp-equivalent to wide (same addends, shorter zero-padded sums).
+_BAND = os.environ.get("RTSDR_FRONTEND_BAND", "0") == "1"
 # predecessor extraction: lane ROLL (default; exact, no MXU) vs the old
 # f32-HIGHEST selector matmuls (RTSDR_FRONTEND_PRED=dot restores)
 _PRED_ROLL = os.environ.get("RTSDR_FRONTEND_PRED", "roll") != "dot"
@@ -78,7 +88,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(a_ref, b_ref, whi_ref, wlo_ref, pi_ref, pq_ref, o_ref, *,
-            tf, g, stride, jp, s_over, int8_scales=None, wide=False):
+            tf, g, stride, jp, s_over, int8_scales=None, wide=False,
+            band=None):
     a = a_ref[:]                      # (tf, stride) int8 = raw bytes,
     b = b_ref[:]                      # (32, stride)   bit-reinterpreted
     # Normalize IN-KERNEL: the operand is the raw byte x reinterpreted as
@@ -135,6 +146,35 @@ def _kernel(a_ref, b_ref, whi_ref, wlo_ref, pi_ref, pq_ref, o_ref, *,
                              preferred_element_type=jnp.int32)
             y = (y1.astype(jnp.float32) * c1
                  + y2.astype(jnp.float32) * c2)
+        elif band is not None:
+            # BANDED form (see _BAND): per 32-output group, one
+            # (tf, span_pad) x (span_pad, 128) full-tile matmul over just
+            # that group's window rows, then hi+lo recombine through two
+            # 0/1 selector dots (exact f32 adds; offset-0 outputs so the
+            # cross-group lane concats are legal)
+            n_groups, span_pad, g_s = band
+            frames = (v ^ jnp.int8(-128)).astype(jnp.bfloat16)
+            rowv = jax.lax.broadcasted_iota(jnp.int32, (128, g_s), 0)
+            colv = jax.lax.broadcasted_iota(jnp.int32, (128, g_s), 1)
+            s_i = ((rowv == colv)
+                   | (rowv == colv + 2 * g_s)).astype(jnp.float32)
+            s_q = ((rowv == colv + g_s)
+                   | (rowv == colv + 3 * g_s)).astype(jnp.float32)
+            i_parts, q_parts = [], []
+            for s2 in range(n_groups):
+                off = s2 * g_s * (stride // g)   # = s2*g_s*dprime lanes
+                fr_s = frames[:, off:off + span_pad]
+                y_g = jnp.dot(
+                    fr_s,
+                    whi_ref[s2 * span_pad:(s2 + 1) * span_pad, :],
+                    preferred_element_type=jnp.float32)
+                i_parts.append(jnp.dot(
+                    y_g, s_i, precision=jax.lax.Precision.HIGHEST))
+                q_parts.append(jnp.dot(
+                    y_g, s_q, precision=jax.lax.Precision.HIGHEST))
+            y = jnp.concatenate(
+                [jnp.concatenate(i_parts, axis=-1),
+                 jnp.concatenate(q_parts, axis=-1)], axis=-1)
         elif wide:
             # WIDE form: hi and lo limbs as columns of ONE (jp, 4g)
             # matmul — N doubles to 256 (two lane tiles streaming
@@ -250,6 +290,44 @@ class FusedFrontendFIR:
     @property
     def tail_len(self) -> int:
         return 2 * self.num_taps - 2
+
+    def _band_plan(self):
+        """(n_groups, span_pad, g_s, W_band) for the BANDED kernel form,
+        or None when the geometry is ineligible (see _BAND). W_band is
+        (n_groups*span_pad, 128) bf16: group s rows are the frame-window
+        slice [s*g_s*dprime, +span_pad) of the full weight matrix,
+        columns [I_hi | Q_hi | I_lo | Q_lo] for outputs r in
+        [s*g_s, (s+1)*g_s)."""
+        cached = getattr(self, "_band_cache", False)
+        if cached is not False:
+            return cached
+        g_s = 32
+        n_groups = self.g // g_s
+        eligible = (self.g % g_s == 0 and n_groups >= 2
+                    and (g_s * self.dprime) % 128 == 0)
+        if not eligible:
+            self._band_cache = None
+            return None
+        span = (g_s - 1) * self.dprime + 2 * self.num_taps
+        span_pad = _round_up(span, 128)
+        assert (n_groups - 1) * g_s * self.dprime + span_pad <= self.jp
+        w_hi = np.asarray(self._w_hi)
+        w_lo = np.asarray(self._w_lo)
+        wb = np.zeros((n_groups * span_pad, 4 * g_s), dtype=w_hi.dtype)
+        for s in range(n_groups):
+            r0 = s * g_s
+            rows = slice(s * g_s * self.dprime,
+                         s * g_s * self.dprime + span_pad)
+            wb[s * span_pad:(s + 1) * span_pad, 0:g_s] = \
+                w_hi[rows, r0:r0 + g_s]
+            wb[s * span_pad:(s + 1) * span_pad, g_s:2 * g_s] = \
+                w_hi[rows, self.g + r0:self.g + r0 + g_s]
+            wb[s * span_pad:(s + 1) * span_pad, 2 * g_s:3 * g_s] = \
+                w_lo[rows, r0:r0 + g_s]
+            wb[s * span_pad:(s + 1) * span_pad, 3 * g_s:4 * g_s] = \
+                w_lo[rows, self.g + r0:self.g + r0 + g_s]
+        self._band_cache = (n_groups, span_pad, g_s, wb)
+        return self._band_cache
 
     def _plan(self, n2: int):
         if n2 in self._plan_cache:
@@ -514,16 +592,22 @@ class FusedFrontendFIR:
 
         batch = rows.shape[:-2]
         tf_blocks = tf // 32
-        wide = _WIDE and not _SPLIT
+        band = (self._band_plan()
+                if _BAND and not (_INT8 or _SPLIT) else None)
+        wide = _WIDE and not _SPLIT and band is None
         assert not (_INT8 and _SPLIT), \
             "RTSDR_FRONTEND_INT8 and RTSDR_FRONTEND_SPLIT are exclusive"
         kern = functools.partial(
             _kernel, tf=tf, g=self.g, stride=self.stride, jp=self.jp,
             s_over=self.s_over,
-            int8_scales=self._wq_scales if _INT8 else None, wide=wide)
+            int8_scales=self._wq_scales if _INT8 else None, wide=wide,
+            band=band[:3] if band is not None else None)
         w_hi, w_lo = ((self._wq_hi, self._wq_lo) if _INT8
                       else (self._w_hi, self._w_lo))
-        if wide:
+        if band is not None:
+            w_hi = band[3]
+            w_lo = np.zeros((8, 128), dtype=np.asarray(w_hi).dtype)
+        elif wide:
             # one (jp, 4g) weight operand [hi | lo]; the wlo slot shrinks
             # to a minimal dummy block (the kernel never reads it)
             w_hi = np.concatenate([np.asarray(w_hi), np.asarray(w_lo)],
@@ -539,10 +623,10 @@ class FusedFrontendFIR:
                 pl.BlockSpec((32, self.stride),
                              lambda fi, _t=tf_blocks: ((fi + 1) * _t, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((self.jp, 4 * self.g) if wide
+                pl.BlockSpec(tuple(w_hi.shape) if (wide or band is not None)
                              else (self.jp, 2 * self.g),
                              lambda fi: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, 128) if wide
+                pl.BlockSpec((8, 128) if (wide or band is not None)
                              else (self.jp, 2 * self.g),
                              lambda fi: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((nbf, 1), lambda fi: (0, 0),
