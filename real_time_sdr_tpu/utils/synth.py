@@ -396,6 +396,14 @@ def rate_change(iq_u8: np.ndarray, fs_in: int, fs_out: int) -> np.ndarray:
     I and Q streams separately, requantized to uint8 — generates
     alternate-mode test inputs from a single capture. Canonical rates:
     {2400, 2880, 2304, 1920, 1440, 1152, 960} kS/s.
+
+    Deliberate requantization divergence from the reference
+    (model/fmRateChange.py:60-64): it writes ``128 + int(x*127)`` —
+    truncation toward zero, 127/128 gain, and NO clipping (resampler
+    overshoot past full scale silently WRAPS the uint8). Here: round,
+    full 128 scale, clipped — cross-checked against the reference run
+    unmodified in tests/test_reference_oracle.py (agreement within the
+    documented 1-2 LSB class on non-overshooting samples).
     """
     g = math.gcd(fs_in, fs_out)
     up, down = fs_out // g, fs_in // g

@@ -314,6 +314,44 @@ def test_reference_syndromes_recognize_our_blocks():
     assert ref_rds.calc_syndrome(word, 26) == 748
 
 
+def test_rate_change_vs_reference_script(tmp_path):
+    """model/fmRateChange.py executed AS-IS (its argv file protocol) vs
+    utils.synth.rate_change on the same capture: 2.4 -> 1.44 MS/s.
+
+    The reference requantizes with truncation at 127/128 gain and no
+    clip (documented divergence — see rate_change's docstring), so
+    agreement is bounded at the LSB class rather than exact; the
+    resampled WAVEFORMS must agree to resampler precision (>35 dB at
+    8-bit). The capture is backed off from full scale because the
+    reference CRASHES on any resampler overshoot under NumPy >= 2 (its
+    unclipped ``128+int(x*127)`` uint8 store raises OverflowError,
+    model/fmRateChange.py:62 — a finding, not an accommodation: this
+    framework's rate_change clips)."""
+    cfg = ReceiverConfig()
+    iq, _ = synth.station_iq(cfg, 3)
+    iq = (128.0 + 0.7 * (iq.astype(np.float64) - 128.0)).astype(np.uint8)
+    src = tmp_path / "cap.raw"
+    iq.tofile(src)
+    env = dict(os.environ, MPLBACKEND="Agg",
+               PYTHONPATH=REF_MODEL + os.pathsep
+               + os.environ.get("PYTHONPATH", ""))
+    # outFsID 4 = 1440 kS/s, inFsID 0 = 2400 kS/s
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REF_MODEL, "fmRateChange.py"),
+         str(src), "4", "0"],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    theirs = np.fromfile(tmp_path / "cap_1440.raw", dtype=np.uint8)
+    ours = synth.rate_change(iq, 2_400_000, 1_440_000)
+    assert len(theirs) == len(ours)
+    # cross-scaled compare (their 127 gain vs our 128) at the u8 level
+    a = (theirs.astype(np.float64) - 128) / 127.0
+    b = (ours.astype(np.float64) - 128) / 128.0
+    err = a - b
+    snr = 10 * np.log10(np.mean(a ** 2) / max(np.mean(err ** 2), 1e-300))
+    assert snr > 35, snr
+
+
 # ---------------------------------------------------------------------------
 # the full reference receiver, executed unmodified
 # ---------------------------------------------------------------------------
