@@ -118,15 +118,20 @@ class FusedWidebandFrontend:
     """
 
     @staticmethod
-    def output_lcm(wide_fs: int, rf_fs: int, rf_decim: int,
+    def _tone_period(f: int, dt: int, p: int) -> int:
+        """IF-rate output-tone period of one station offset."""
+        fd = (int(f) * dt) % p
+        return p // math.gcd(fd, p) if fd else 1
+
+    @classmethod
+    def output_lcm(cls, wide_fs: int, rf_fs: int, rf_decim: int,
                    offsets_hz: list[int]) -> int:
         """lcm over stations of the IF-rate tone period (lo)."""
         p = int(wide_fs)
         dt = (p // int(rf_fs)) * int(rf_decim)
         lo = 1
         for f in offsets_hz:
-            fd = (int(f) * dt) % p
-            per = p // math.gcd(fd, p) if fd else 1
+            per = cls._tone_period(f, dt, p)
             lo = lo * per // math.gcd(lo, per)
         return lo
 
@@ -274,10 +279,8 @@ class FusedWidebandFrontend:
             # would write another station's columns for r >= 1
             raise ValueError(
                 f"station {station} out of range [0, {len(self.offsets)})")
-        p, dt = self.wide_fs, self.dt
         f = int(offset_hz)
-        fd = (f * dt) % p
-        per = p // math.gcd(fd, p) if fd else 1
+        per = self._tone_period(f, self.dt, self.wide_fs)
         if self.lo % per:
             raise ValueError(
                 f"offset {f} Hz has IF-tone period {per}, not a divisor "

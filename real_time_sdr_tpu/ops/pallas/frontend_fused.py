@@ -608,10 +608,14 @@ class FusedFrontendFIR:
             w_hi = band[3]
             w_lo = np.zeros((8, 128), dtype=np.asarray(w_hi).dtype)
         elif wide:
-            # one (jp, 4g) weight operand [hi | lo]; the wlo slot shrinks
-            # to a minimal dummy block (the kernel never reads it)
-            w_hi = np.concatenate([np.asarray(w_hi), np.asarray(w_lo)],
-                                  axis=1)
+            # one (jp, 4g) weight operand [hi | lo] (cached — this runs
+            # per eager call in tests); the wlo slot shrinks to a minimal
+            # dummy block (the kernel never reads it)
+            w_hi = getattr(self, "_wide_cache", None)
+            if w_hi is None:
+                w_hi = self._wide_cache = np.concatenate(
+                    [np.asarray(self._w_hi), np.asarray(self._w_lo)],
+                    axis=1)
             w_lo = np.zeros((8, 128), dtype=np.asarray(w_hi).dtype)
         call = pl.pallas_call(
             kern,

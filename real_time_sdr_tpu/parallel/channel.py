@@ -160,19 +160,15 @@ class ChannelBank:
         measured operand-vs-constant cost in BENCH_NOTES."""
         if group is None:
             group = _default_wb_group()
-        key = (id(wf), group, weights is not None)
+        key = (id(wf), group)
         fn = self._chan_jit_cache.get(key)
         if fn is None:
-            if weights is not None:
-                fn = jax.jit(lambda s, i, q, w, wts: self.run_channelized_fused(
+            # ONE jitted fn: weights=None is an empty pytree, so jax
+            # keeps separate traces for the constant / operand forms
+            fn = self._chan_jit_cache[key] = jax.jit(
+                lambda s, i, q, w, wts: self.run_channelized_fused(
                     s, wf, i, q, w, group=group, weights=wts))
-            else:
-                fn = jax.jit(lambda s, i, q, w: self.run_channelized_fused(
-                    s, wf, i, q, w, group=group))
-            self._chan_jit_cache[key] = fn
-        if weights is not None:
-            return fn(state, i_wide, q_wide, wstate, weights)
-        return fn(state, i_wide, q_wide, wstate)
+        return fn(state, i_wide, q_wide, wstate, weights)
 
     def run_wideband_u8_jit(self, state, fe, raw_u8, festate,
                             group: int | None = None, weights=None):
@@ -192,22 +188,22 @@ class ChannelBank:
                 "operand weights (retunable serving) need the fused "
                 "wideband frontend; the two-stage Channelizer path bakes "
                 "its weights as jit constants")
-        key = (id(fe), group, "u8", weights is not None)
+        key = (id(fe), group, "u8")
         fn = self._chan_jit_cache.get(key)
         if fn is None:
             if isinstance(fe, FusedWidebandFrontend):
-                def _u8_step(s, raw, w, wts=None):
+                # weights=None is an empty pytree: one jitted fn serves
+                # both the constant- and operand-weights forms
+                def _u8_step(s, raw, w, wts):
                     demod, w = fe(*u8_to_rails(raw), w, wts)
                     s, out = self._bank_demod(s, demod, group)
                     return s, out, w
             else:
-                def _u8_step(s, raw, c):
+                def _u8_step(s, raw, c, wts):
                     i_wide, q_wide = u8_to_rails(raw)
                     return self.run_channelized(s, fe, i_wide, q_wide, c)
             fn = self._chan_jit_cache[key] = jax.jit(_u8_step)
-        if weights is not None:
-            return fn(state, raw_u8, festate, weights)
-        return fn(state, raw_u8, festate)
+        return fn(state, raw_u8, festate, weights)
 
     def run_wideband_jit(self, state, fe, i_wide, q_wide, festate,
                          weights=None):

@@ -265,7 +265,8 @@ def test_estimate_psd_vs_reference(ref):
 def test_reference_decodes_our_symbol_stream():
     """synth's differential+Manchester encode must invert through the
     reference's ManDecode+diffDecode (model/OurRDS.py:38-79) exactly."""
-    sys.path.insert(0, REF_MODEL) if REF_MODEL not in sys.path else None
+    if REF_MODEL not in sys.path:
+        sys.path.insert(0, REF_MODEL)
     os.environ.setdefault("MPLBACKEND", "Agg")
     import OurRDS as ref_rds
 
@@ -293,7 +294,8 @@ def test_reference_decodes_our_symbol_stream():
 def test_reference_syndromes_recognize_our_blocks():
     """Every block of a repo-encoded group must land on the reference's
     syndrome constants {383,14,303,663,748} through THEIR calc_syndrome."""
-    sys.path.insert(0, REF_MODEL) if REF_MODEL not in sys.path else None
+    if REF_MODEL not in sys.path:
+        sys.path.insert(0, REF_MODEL)
     os.environ.setdefault("MPLBACKEND", "Agg")
     import OurRDS as ref_rds
 
