@@ -165,6 +165,32 @@ def test_sharded_retune_propagates():
     np.testing.assert_array_equal(a1, np.asarray(out3.mono))
 
 
+def test_retune_equals_fresh_construction():
+    """Property: after ANY sequence of retunes, the weight matrix and
+    rotation tables must equal a frontend built fresh on the final grid,
+    bit for bit (pins _station_cols == _init_weights coherence)."""
+    from real_time_sdr_tpu.config import mode_config
+    cfg = mode_config(0)
+    wide_fs = 8 * cfg.rf_fs
+    rng = np.random.default_rng(21)
+    raster = 100_000
+    offs = sorted(int(x) * raster for x in
+                  rng.choice(np.arange(-80, 81), size=6, replace=False))
+    wf = FusedWidebandFrontend(cfg, wide_fs, offs, compute_dtype="f32")
+    for _ in range(5):
+        si = int(rng.integers(0, len(offs)))
+        new = int(rng.integers(-80, 81)) * raster
+        try:
+            wf.retune(si, new)
+        except ValueError:
+            continue   # off-lo raster point for this grid: rejected
+    fresh = FusedWidebandFrontend(cfg, wide_fs, wf.offsets,
+                                  compute_dtype="f32")
+    np.testing.assert_array_equal(wf._w, fresh._w)
+    np.testing.assert_array_equal(wf._pc_np, fresh._pc_np)
+    np.testing.assert_array_equal(wf._ps_np, fresh._ps_np)
+
+
 @pytest.mark.slow
 def test_retune_station_live_no_recompile():
     """Serve a 3-station sky with a 2-station grid, then retune station 1
