@@ -396,3 +396,40 @@ def test_full_reference_chain_decodes_same_capture(tmp_path):
             framer.feed(bits[b][:nb[b]])
     assert framer.events.ps_name == ps == ps_lines[-1]
     assert framer.events.pi == pi
+
+
+@pytest.mark.slow
+def test_full_reference_own_dsp_chain(tmp_path):
+    """model/OurRDSOurDSP.py executed unmodified — the reference's
+    OWN-DSP variant (their convfilter + convfilter_resample + fmDemod
+    discriminator + combined 247/640 baseband, the closest model to THIS
+    framework's architecture) — must sync on a repo capture and parse
+    the PI/PTY plus the RadioText this repo's encoder transmitted."""
+    pi, pty, rt = 0x3A5C, 5, "TPU ORACLE TEST"
+    cfg = ReceiverConfig()
+    iq, _ = synth.station_iq(cfg, 45, ps_name="TPU-FM  ", pi=pi, pty=pty,
+                             radiotext=rt)
+    # their in_fname is ../data/samples3.raw relative to the CWD
+    (tmp_path / "data").mkdir()
+    (tmp_path / "run").mkdir()
+    iq.tofile(tmp_path / "data" / "samples3.raw")
+    env = dict(os.environ, MPLBACKEND="Agg",
+               PYTHONPATH=REF_MODEL + os.pathsep
+               + os.environ.get("PYTHONPATH", ""))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REF_MODEL, "OurRDSOurDSP.py")],
+        cwd=tmp_path / "run", env=env, capture_output=True, text=True,
+        timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
+    assert "Sync State Detected" in out
+    assert "PTY: Rock" in out                      # pty 5, North America
+    assert f"program: {hex(pi)}" in out
+    # their own-DSP chain is LOSSY on this capture (observed ~39 bad
+    # blocks per 50 with sync re-acquire — a property of their chain,
+    # not of the capture: OurRDS.py decodes the same bytes cleanly), so
+    # the progressive RadioText printer assembles only some segments;
+    # require at least one aligned 4-char segment of the transmitted
+    # text to appear (observed: '    ORACLE T')
+    segs = [rt.ljust(16)[i:i + 4] for i in range(0, 16, 4)]
+    assert any(s in out for s in segs), segs
