@@ -335,15 +335,15 @@ class FusedFrontendFIR:
         assert n2 % self.dprime == 0, (n2, self.dprime)
         n_out = (n2 // 2) // self.down
         c_frames = -(-n_out // self.g)
-        # tile height: keep the per-tile matmul work roughly constant
-        # (tf * jp ~ 128 * 1536, the measured mode-0 optimum) so
-        # small-decimation modes with narrow jp still amortize per-tile
-        # overheads (mode 1: jp=768 -> tf=256, measured -1.5%; larger caps
-        # measured neutral-to-worse at mode 0)
+        # tile height: flat 512 cap. Under the wide-N (jp, 4g) matmul the
+        # per-tile fixed cost (window DMA setup + grid step) dominates the
+        # old work-balance heuristic: the round-5 v5e sweep measured
+        # tf=512 best at EVERY mode (mode 0: 128->9.36k, 256->9.62k,
+        # 512->9.76k, 1024/1408->8.75-9.04k; mode 2 +6%, mode 1 +2%,
+        # mode 3 +1% — BENCH_NOTES 2026-08-21). The pre-wide heuristic
+        # (tf*jp ~ 128*1536) is retired with the two-pass form it tuned.
         tf_env = os.environ.get("RTSDR_FRONTEND_TF")
-        tf_cap = (int(tf_env) if tf_env
-                  else min(512, max(128, _round_up(128 * 1536 // self.jp,
-                                                   32))))
+        tf_cap = int(tf_env) if tf_env else 512
         tf = tf_cap if c_frames >= tf_cap else _round_up(c_frames, 32)
         nbf = -(-c_frames // tf)
         rows_total = nbf * tf + 32
